@@ -1,0 +1,159 @@
+"""PPDU codec: PLCP header + payload encode/decode.
+
+Reimplements the reference ppdu class (src/ppdu.cpp) as pure batched
+functions. Frame geometry (rate, payload length) is static configuration;
+payload *content* is traced. The SIGNAL header depends only on (rate,
+length), so its 48 BPSK samples are a trace-time numpy constant.
+
+Reference quirks replicated (see SURVEY.md section 7):
+  * header field layout: parity(1)|rate(4)|reserved(1)|length(12)|tail(6),
+    transmitted MSB-first (src/ppdu.cpp:86-95);
+  * byte-granular LSB-only scrambler, seed 93 (src/ppdu.cpp:140-148);
+  * the 6 encoder tail bits are the next bits of the scrambled buffer,
+    not forced zeros (src/ppdu.cpp:150-153);
+  * CRC-32 little-endian over [service(2) | payload] (src/ppdu.cpp:134-137).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import convcode, crc32, interleave, puncture, qam, scramble, viterbi
+from ..rates import Rate, RateParams, VALID_RATE_FIELDS, from_rate_field, params_for
+from ..utils.bits import bits_to_bytes, bytes_to_bits, np_bytes_to_bits
+
+HEADER_BITS = 18  # rate(4)+reserved(1)+length(12)+parity(1) data bits
+SERVICE_BYTES = 2
+CRC_BYTES = 4
+TAIL_BITS = 6
+
+
+def _parity_int(x: int) -> int:
+    return bin(x).count("1") & 1
+
+
+@functools.lru_cache(maxsize=None)
+def header_samples_np(rate: Rate, length: int) -> np.ndarray:
+    """The 48 BPSK SIGNAL-symbol data samples for (rate, length).
+
+    Static per configuration (reference: src/ppdu.cpp:81-110).
+    """
+    rp = params_for(rate)
+    field = ((rp.rate_field & 0xF) << 13) | (length & 0xFFF)
+    if _parity_int(field) == 1:
+        field |= 1 << 17
+    field <<= 6  # 24-bit word, 6 tail zeros
+    header_bytes = np.array(
+        [(field >> 16) & 0xFF, (field >> 8) & 0xFF, field & 0xFF, 0], np.int32)
+    bits = np_bytes_to_bits(header_bytes)[: HEADER_BITS + TAIL_BITS]
+    coded = np.asarray(convcode.conv_encode(jnp.asarray(bits)))
+    inter = np.asarray(interleave.interleave(jnp.asarray(coded)))
+    # BPSK values are exactly +-1; build in numpy to stay dtype-agnostic
+    mod = (2.0 * inter - 1.0).astype(np.complex128)
+    return mod  # (48,) complex, +-1 on the real axis
+
+
+def encode_data(payload: jnp.ndarray, rate: Rate,
+                dtype=jnp.complex64) -> jnp.ndarray:
+    """Encode payload bytes to modulated data-subcarrier samples.
+
+    payload: (..., length) int bytes. Returns (..., num_symbols*48) complex.
+    (reference: src/ppdu.cpp:112-165)
+    """
+    rp = params_for(rate)
+    length = payload.shape[-1]
+    n_bits = rp.num_data_bits(length)
+    n_bytes = rp.num_data_bytes(length)
+    batch = payload.shape[:-1]
+
+    payload = jnp.asarray(payload, jnp.int32)
+    service = jnp.zeros(batch + (SERVICE_BYTES,), jnp.int32)
+    crc = crc32.crc32(jnp.concatenate([service, payload], axis=-1))
+    crc_le = jnp.stack(
+        [(crc >> (8 * i)) & 0xFF for i in range(4)], axis=-1).astype(jnp.int32)
+    pad = jnp.zeros(batch + (n_bytes + 1 - SERVICE_BYTES - length - CRC_BYTES,),
+                    jnp.int32)
+    data = jnp.concatenate([service, payload, crc_le, pad], axis=-1)
+
+    # scramble the first n_bytes bytes; the +1 spill byte stays clear
+    scrambled = scramble.scramble_bytes(data[..., :n_bytes])
+    data = jnp.concatenate([scrambled, data[..., n_bytes:]], axis=-1)
+
+    bits = bytes_to_bits(data)[..., :n_bits]  # data bits + in-buffer tail
+    coded = convcode.conv_encode(bits)  # (..., 2*n_bits)
+    punctured = puncture.puncture(coded, rate)
+    inter = interleave.interleave(punctured)
+    return qam.modulate(inter, rate, dtype=dtype)
+
+
+def encode(payload: jnp.ndarray, rate: Rate, dtype=jnp.complex64) -> jnp.ndarray:
+    """Header + data samples: (..., (1+num_symbols)*48) complex."""
+    length = payload.shape[-1]
+    hdr = jnp.asarray(header_samples_np(rate, length), dtype)
+    hdr = jnp.broadcast_to(hdr, payload.shape[:-1] + (48,))
+    return jnp.concatenate([hdr, encode_data(payload, rate, dtype)], axis=-1)
+
+
+def decode_header(samples: jnp.ndarray):
+    """Decode 48 SIGNAL data samples -> (rate_field, length, ok).
+
+    All outputs are traced arrays; `ok` covers parity + valid-rate checks
+    (reference: src/ppdu.cpp:168-218).
+    """
+    soft = qam.demodulate(samples, Rate.RATE_1_2_BPSK)
+    deinter = interleave.deinterleave(soft)
+    bits = viterbi.viterbi_decode(deinter, HEADER_BITS)
+    pad = jnp.zeros(bits.shape[:-1] + (24 - HEADER_BITS,), jnp.int32)
+    field_bytes = bits_to_bytes(jnp.concatenate([bits, pad], axis=-1))
+    field = (field_bytes[..., 0] << 16) | (field_bytes[..., 1] << 8) | field_bytes[..., 2]
+
+    # 24-bit even parity
+    par = field
+    for s in (16, 8, 4, 2, 1):
+        par = par ^ (par >> s)
+    parity_ok = (par & 1) == 0
+
+    rate_field = (field >> 19) & 0xF
+    length = (field >> 6) & 0xFFF
+    valid = jnp.zeros_like(parity_ok)
+    for v in VALID_RATE_FIELDS:
+        valid = valid | (rate_field == v)
+    return rate_field, length, parity_ok & valid
+
+
+def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
+    """Decode (..., num_symbols*48) equalized data samples.
+
+    Returns (payload (..., length) int32, crc_ok (...,) bool, service).
+    (reference: src/ppdu.cpp:223-295)
+    """
+    rp = params_for(rate)
+    n_bits = rp.num_data_bits(length)
+    n_bytes = rp.num_data_bytes(length)
+
+    soft = qam.demodulate(samples, rate)
+    deinter = interleave.deinterleave(soft)
+    depunct = puncture.depuncture(deinter, rate)
+    decoded_bits = viterbi.viterbi_decode(depunct, n_bits - TAIL_BITS)
+    pad = (-decoded_bits.shape[-1]) % 8
+    if pad:
+        decoded_bits = jnp.concatenate(
+            [decoded_bits,
+             jnp.zeros(decoded_bits.shape[:-1] + (pad,), jnp.int32)], axis=-1)
+    decoded = bits_to_bytes(decoded_bits)  # (..., >= 2+length+4 bytes)
+
+    descrambled = scramble.descramble_bytes(decoded[..., :n_bytes])
+
+    service = (descrambled[..., 0].astype(jnp.int32)
+               | (descrambled[..., 1].astype(jnp.int32) << 8))
+    payload = descrambled[..., SERVICE_BYTES:SERVICE_BYTES + length]
+    given_crc = descrambled[..., SERVICE_BYTES + length:SERVICE_BYTES + length + 4]
+    given = (given_crc[..., 0].astype(jnp.uint32)
+             | (given_crc[..., 1].astype(jnp.uint32) << 8)
+             | (given_crc[..., 2].astype(jnp.uint32) << 16)
+             | (given_crc[..., 3].astype(jnp.uint32) << 24))
+    calc = crc32.crc32(descrambled[..., :SERVICE_BYTES + length])
+    return payload, given == calc, service

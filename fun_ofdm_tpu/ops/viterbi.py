@@ -1,0 +1,170 @@
+"""Soft-decision Viterbi decoder, K=7 rate-1/2, polys {121, 91}.
+
+Bit-exact reimplementation of the reference's SPIRAL SSE kernel semantics
+(reference: src/viterbi.cpp:166-459) as batched, state-vectorized JAX:
+
+  * 64 states, path metrics are unsigned-8 semantics carried in int32:
+    init all 63 with state 0 biased to 0 (viterbi.cpp:71-78);
+    adds saturate at 255; when the *state-0* metric exceeds 210 after a
+    step, the lane-minimum is subtracted from all metrics
+    (viterbi.cpp:314-332).
+  * branch metric for expected coded pair (e0, e1) against soft pair
+    (s0, s1): t = ((s0 XOR E0) + (s1 XOR E1) + 1) >> 3 in 0..63, where
+    Ek = 255 if ek else 0 and XOR-with-255 is complement
+    (viterbi.cpp:242-251: _mm_avg_epu8 then >>2 & 63).
+  * butterfly j in 0..31 pairs old states (j, j+32) -> new (2j, 2j+1):
+      new[2j]   = min(old[j] + t_j,       old[j+32] + (63 - t_j))
+      new[2j+1] = min(old[j] + (63-t_j),  old[j+32] + t_j)
+    decision bit = 1 iff the j+32 path wins, ties -> 1
+    (viterbi.cpp:252-267: _mm_min_epu8 + _mm_cmpeq_epi8 against the
+    high-half candidate).
+  * chainback from end state 0, skipping the first 6 decisions; decoded
+    bit n = the decision bit read at trellis step n+6
+    (viterbi.cpp:108-146).
+
+The reference processes trellis steps in pairs and silently drops a final
+odd step (viterbi.cpp:209: `i9 <= nbits/2-1`); we replicate by truncating
+to an even step count. All 802.11a frame sizes are even so this never
+triggers in practice.
+
+Two execution strategies:
+  * `viterbi_decode` - lax.scan over time, vectorized over (batch, 32)
+    butterflies. Exact, simple; the baseline.
+  * a Pallas TPU kernel (ops/viterbi_pallas.py) that runs the whole
+    trellis in VMEM - the production path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = 7
+NUMSTATES = 64
+POLYS = (121, 91)
+
+
+def _parity(x: int) -> int:
+    return bin(x).count("1") & 1
+
+
+@functools.lru_cache(maxsize=None)
+def _branch_bits() -> tuple[np.ndarray, np.ndarray]:
+    """(bt0, bt1): expected coded bits for butterfly j's j->2j transition.
+
+    Branchtab[i][j] = parity((2j) & poly_i) (reference: viterbi.cpp:87-91).
+    """
+    bt0 = np.array([_parity((2 * j) & POLYS[0]) for j in range(32)], np.int32)
+    bt1 = np.array([_parity((2 * j) & POLYS[1]) for j in range(32)], np.int32)
+    return bt0, bt1
+
+
+def _interleave_pairs(even: jnp.ndarray, odd: jnp.ndarray) -> jnp.ndarray:
+    """(..., 32), (..., 32) -> (..., 64) with out[2j]=even[j], out[2j+1]=odd[j]."""
+    stacked = jnp.stack([even, odd], axis=-1)  # (..., 32, 2)
+    return stacked.reshape(*even.shape[:-1], 64)
+
+
+def _acs_step(metrics: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray):
+    """One trellis step.
+
+    metrics: (..., 64) int32 path metrics (u8 semantics).
+    s0, s1:  (...,) int32 soft symbol pair.
+    Returns (new_metrics, decisions (..., 64) int32 0/1).
+    """
+    bt0, bt1 = _branch_bits()
+    e0 = jnp.asarray(bt0, jnp.int32)  # (32,)
+    e1 = jnp.asarray(bt1, jnp.int32)
+    s0 = s0[..., None]
+    s1 = s1[..., None]
+    a = jnp.where(e0 == 1, 255 - s0, s0)  # (..., 32)
+    b = jnp.where(e1 == 1, 255 - s1, s1)
+    t = (a + b + 1) >> 3  # 0..63
+    tc = 63 - t
+
+    lo = metrics[..., :32]
+    hi = metrics[..., 32:]
+    m_even_lo = jnp.minimum(lo + t, 255)
+    m_even_hi = jnp.minimum(hi + tc, 255)
+    m_odd_lo = jnp.minimum(lo + tc, 255)
+    m_odd_hi = jnp.minimum(hi + t, 255)
+
+    new_even = jnp.minimum(m_even_lo, m_even_hi)
+    dec_even = (m_even_hi <= m_even_lo).astype(jnp.int32)
+    new_odd = jnp.minimum(m_odd_lo, m_odd_hi)
+    dec_odd = (m_odd_hi <= m_odd_lo).astype(jnp.int32)
+
+    new = _interleave_pairs(new_even, new_odd)
+    dec = _interleave_pairs(dec_even, dec_odd)
+
+    # renormalize when state 0's metric exceeds 210 (viterbi.cpp:314)
+    need = new[..., 0:1] > 210
+    new = jnp.where(need, new - jnp.min(new, axis=-1, keepdims=True), new)
+    return new, dec
+
+
+def viterbi_decode(soft: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Decode soft symbols to bits.
+
+    soft:  (..., 2*(nbits+6)) int32 soft coded bits (0..255; >=128 leans 1).
+    nbits: number of data bits to output (static).
+    Returns (..., nbits) int32 decoded bits.
+    """
+    soft = jnp.asarray(soft, jnp.int32)
+    total_steps = nbits + (K - 1)
+    steps = (total_steps // 2) * 2  # reference drops a trailing odd step
+    batch_shape = soft.shape[:-1]
+
+    pairs = soft[..., : 2 * steps].reshape(*batch_shape, steps, 2)
+    pairs = jnp.moveaxis(pairs, -2, 0)  # (steps, ..., 2)
+
+    metrics0 = jnp.full(batch_shape + (NUMSTATES,), 63, jnp.int32)
+    metrics0 = metrics0.at[..., 0].set(0)
+
+    def fwd(metrics, pair):
+        new, dec = _acs_step(metrics, pair[..., 0], pair[..., 1])
+        return new, dec
+
+    _, decisions = jax.lax.scan(fwd, metrics0, pairs)  # (steps, ..., 64)
+
+    # decisions for steps in [steps, total_steps) were never computed;
+    # the reference leaves them zeroed (viterbi.cpp:193-194)
+    if steps < total_steps:
+        pad = jnp.zeros((total_steps - steps,) + batch_shape + (64,), jnp.int32)
+        decisions = jnp.concatenate([decisions, pad], axis=0)
+
+    # chainback from end state 0 over t = total_steps-1 .. 0; decoded
+    # bit n (= t-6) is the decision bit read at step t
+    rev = decisions[::-1]  # t = total-1 first
+
+    def back(state, dec_t):
+        k = jnp.take_along_axis(dec_t, state[..., None], axis=-1)[..., 0]
+        new_state = (state >> 1) | (k << 5)
+        return new_state, k
+
+    state0 = jnp.zeros(batch_shape, jnp.int32)
+    _, ks = jax.lax.scan(back, state0, rev)  # ks[i] = k at t = total-1-i
+    ks = ks[::-1]  # ks[t] = decision bit at step t
+    return jnp.moveaxis(ks[K - 1 : K - 1 + nbits], 0, -1)
+
+
+def conv_decode_bytes(soft: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """Decode and pack to bytes like the reference conv_decode.
+
+    Returns (..., ceil(nbits/8)... ) - actually floor((nbits+7)/8) bytes with
+    trailing partial-byte bits from the chainback register, matching
+    viterbi_chainback's byte packing (MSB-first; the final partial byte is
+    the low bits of the sliding register - callers only consume whole bytes
+    of payload so exactness is preserved for them).
+    """
+    from ..utils.bits import bits_to_bytes
+
+    bits = viterbi_decode(soft, nbits)
+    pad = (-nbits) % 8
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros(bits.shape[:-1] + (pad,), jnp.int32)], axis=-1)
+    return bits_to_bytes(bits)
