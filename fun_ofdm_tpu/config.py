@@ -1,0 +1,43 @@
+"""Chain configuration.
+
+Replaces the reference's compile-time #defines (frame_detector.h:12-13,
+timing_sync.h:12-14, receiver.h:16) and the usrp_params struct (usrp.h:25-52)
+with one frozen dataclass. Everything here is static (trace-time) config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ChainParams:
+    """RX chain tuning parameters.
+
+    Attributes:
+      plateau_threshold:  normalized STS autocorrelation threshold
+                          (reference PLATEAU_THRESHOLD, frame_detector.h:12).
+      sts_plateau_length: consecutive above-threshold samples before a
+                          plateau is declared (STS_PLATEAU_LENGTH).
+      lts_corr_threshold: normalized LTS cross-correlation peak threshold
+                          (LTS_CORR_THRESHOLD, timing_sync.h:12).
+      sts_length:         autocorrelation lag / window (STS period).
+      lts_search:         samples after an STS end in which to search for
+                          LTS peaks (reference searches CARRYOVER_LENGTH -
+                          LTS_LENGTH = 96 positions, timing_sync.cpp:75).
+      chunk_size:         streaming chunk length (NUM_RX_SAMPLES,
+                          receiver.h:16).
+      max_frames_per_chunk: detection capacity per processed chunk in the
+                          streaming receiver (fixed shapes under jit).
+    """
+
+    plateau_threshold: float = 0.9
+    sts_plateau_length: int = 16
+    lts_corr_threshold: float = 0.9
+    sts_length: int = 16
+    lts_search: int = 96
+    chunk_size: int = 4096
+    max_frames_per_chunk: int = 4
+
+
+DEFAULT_PARAMS = ChainParams()

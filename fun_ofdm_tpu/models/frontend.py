@@ -1,0 +1,133 @@
+"""RX front-end: frame detection and timing sync as batched array ops.
+
+TPU-native recast of the reference's frame_detector + timing_sync stages
+(src/frame_detector.cpp:41-92, src/timing_sync.cpp:51-139): instead of a
+stateful per-sample walk, the whole capture is processed at once -
+autocorrelation ratios, plateau events, LTS matched filtering and peak
+pairing are all data-parallel; each detected STS end yields (at most) one
+frame-start offset.
+
+Capacity model: detection output has a fixed `max_frames` slot count with a
+validity mask (fixed shapes under jit). Slots are ordered by stream
+position.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChainParams, DEFAULT_PARAMS
+from ..ops import correlate
+from ..rates import Rate, params_for
+from . import rx as rx_model
+
+#: preamble-start offset from the LTS CP start (P + 160 = lts CP)
+LTS_CP_FROM_START = 160
+
+
+def detect_frames(stream: jnp.ndarray, max_frames: int,
+                  params: ChainParams = DEFAULT_PARAMS):
+    """Find frame starts in a 1-D capture.
+
+    stream: (n,) complex samples.
+    Returns (starts (max_frames,) int32, valid (max_frames,) bool), ordered
+    by position; invalid slots have start = n (sentinel).
+
+    Pipeline (mirroring the reference):
+      1. normalized STS autocorrelation ratio per sample;
+      2. STS_END events = first sub-threshold sample after a >=16 plateau
+         (frame_detector.cpp:65-82);
+      3. per event, LTS matched-filter peaks in the next 96 positions;
+         top-5 peaks searched for a pair exactly 64 apart
+         (timing_sync.cpp:74-117);
+      4. frame start P = min(pair) - 32 - 160.
+    """
+    n = stream.shape[-1]
+    ratio = correlate.sts_ratio(stream, params.sts_length)
+    ends = correlate.sts_end_events(
+        ratio, params.plateau_threshold, params.sts_plateau_length)
+    lts_norm = correlate.lts_correlation(stream)
+
+    # Capacity guard: under noise the STS plateau fragments into several
+    # STS_END events per frame; the reference simply searches (and fails)
+    # on each, but here every event consumes one of max_frames slots. Keep
+    # only events from which an LTS peak pair 64 apart is reachable:
+    # pair positions (p, p+64) must both lie in [e, e+96), i.e. some
+    # p in [e, e+32) with peaks at p and p+64.
+    peak = lts_norm > params.lts_corr_threshold
+    pair = peak & jnp.concatenate(
+        [peak[..., 64:], jnp.zeros(peak.shape[:-1] + (64,), bool)], axis=-1)
+    reach = pair
+    for s in range(1, params.lts_search - 64):
+        shifted = jnp.concatenate(
+            [pair[..., s:], jnp.zeros(pair.shape[:-1] + (s,), bool)], axis=-1)
+        reach = reach | shifted
+    ends = ends & reach
+
+    (end_pos,) = jnp.nonzero(ends, size=max_frames, fill_value=n)
+    end_valid = end_pos < n
+
+    search = params.lts_search  # 96
+
+    def resolve_one(e, e_valid):
+        # norm values in [e, e+96), -inf outside threshold
+        win = jax.lax.dynamic_slice(
+            jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)]),
+            (e,), (search,))
+        cand = jnp.where(win > params.lts_corr_threshold, win, -jnp.inf)
+        vals, rel_pos = jax.lax.top_k(cand, 5)  # descending
+        pos = e + rel_pos
+        # reference pairing: compare peak 0 against peaks 1..4, first with
+        # |pos0 - post| == 64 wins (timing_sync.cpp:92-106)
+        d = jnp.abs(pos[0] - pos[1:])
+        hit = (d == 64) & jnp.isfinite(vals[1:]) & jnp.isfinite(vals[0])
+        any_hit = jnp.any(hit)
+        t = jnp.argmax(hit)  # first hit index
+        lts_offset = jnp.minimum(pos[0], pos[1:][t]) - 32
+        start = lts_offset - LTS_CP_FROM_START
+        ok = e_valid & any_hit & (lts_offset >= 0) & (start >= 0)
+        return jnp.where(ok, start, n).astype(jnp.int32), ok
+
+    starts, valid = jax.vmap(resolve_one)(end_pos, end_valid)
+    return starts, valid
+
+
+def receive_capture(stream: jnp.ndarray, rate: Rate, length: int,
+                    max_frames: int,
+                    params: ChainParams = DEFAULT_PARAMS):
+    """Detect and decode every frame of a known (rate, length) config.
+
+    stream: (n,) complex capture.
+    Returns dict of per-slot arrays: starts, valid, payload
+    (max_frames, length), crc_ok, header_ok - `valid & crc_ok` marks
+    delivered packets (the reference chain's output contract).
+    """
+    n = stream.shape[-1]
+    frame_len = params_for(rate).frame_samples(length)
+    starts, valid = detect_frames(stream, max_frames, params)
+    # frames must fit in the capture to decode with static shapes
+    fits = starts + frame_len <= n
+    safe_start = jnp.where(valid & fits, starts, 0)
+    out = jax.vmap(
+        lambda s: rx_model.decode_frame(stream, rate, length, start=s)
+    )(safe_start)
+    ok = valid & fits
+    return {
+        "starts": starts,
+        "valid": ok,
+        "payload": out["payload"],
+        "crc_ok": out["crc_ok"] & ok,
+        "header_ok": out["header_ok"] & ok,
+    }
+
+
+@functools.lru_cache(maxsize=None)
+def receive_capture_jit(rate: Rate, length: int, max_frames: int,
+                        params: ChainParams = DEFAULT_PARAMS):
+    return jax.jit(functools.partial(
+        receive_capture, rate=rate, length=length, max_frames=max_frames,
+        params=params))

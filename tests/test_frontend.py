@@ -1,0 +1,81 @@
+"""Frame detection + capture receive: the test_sim contract.
+
+The reference's sim pushes 100 identical frames + zero pad through the
+full RX chain and must deliver 100 CRC-valid payloads. Same here, plus
+detection-position checks against known frame placements.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fun_ofdm_tpu.models import frontend, tx
+from fun_ofdm_tpu.rates import Rate, params_for
+
+
+def _frame(payload, rate):
+    return np.asarray(tx.build_frame(jnp.asarray(payload), rate,
+                                     dtype=jnp.complex128))
+
+
+def test_detect_single_frame():
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 256, 80, dtype=np.uint8)
+    frame = _frame(payload, Rate.RATE_1_2_BPSK)
+    stream = np.concatenate([np.zeros(500, np.complex128), frame,
+                             np.zeros(900, np.complex128)])
+    starts, valid = frontend.detect_frames(jnp.asarray(stream), 4)
+    starts, valid = np.asarray(starts), np.asarray(valid)
+    assert valid[0] and not valid[1:].any()
+    assert starts[0] == 500
+
+
+def test_detect_multiple_frames_positions():
+    rng = np.random.default_rng(4)
+    rate = Rate.RATE_3_4_QAM16
+    payload = rng.integers(0, 256, 60, dtype=np.uint8)
+    frame = _frame(payload, rate)
+    gap = np.zeros(777, np.complex128)
+    stream = np.concatenate([gap, frame, gap, frame, gap, frame, gap])
+    starts, valid = frontend.detect_frames(jnp.asarray(stream), 6)
+    starts, valid = np.asarray(starts), np.asarray(valid)
+    want = [777, 777 * 2 + len(frame), 777 * 3 + 2 * len(frame)]
+    assert list(starts[valid]) == want
+
+
+def test_receive_capture_decodes_all():
+    rng = np.random.default_rng(5)
+    rate = Rate.RATE_2_3_QAM64
+    payload = rng.integers(0, 256, 200, dtype=np.uint8)
+    frame = _frame(payload, rate)
+    pieces = [np.zeros(333, np.complex128)]
+    for _ in range(5):
+        pieces += [frame, np.zeros(421, np.complex128)]
+    stream = np.concatenate(pieces)
+    out = frontend.receive_capture(jnp.asarray(stream), rate, 200, 8)
+    crc_ok = np.asarray(out["crc_ok"])
+    assert crc_ok.sum() == 5
+    for i in np.nonzero(crc_ok)[0]:
+        np.testing.assert_array_equal(np.asarray(out["payload"])[i], payload)
+
+
+def test_sim_loopback_100_frames():
+    """examples/test_sim.cpp semantics: 100 back-to-back frames, all decoded.
+
+    (Back-to-back: the next frame's STS follows the previous frame's last
+    sample immediately, like the reference's concatenated stream.)
+    """
+    TEAPOT = (b"I'm a little tea pot, short and stout....."
+              b"here is my handle.....blah blah blah.....this rhyme sucks!")
+    payload = np.frombuffer(TEAPOT * 15, dtype=np.uint8).copy()
+    rate = Rate.RATE_3_4_QAM16
+    frame = _frame(payload, rate)
+    stream = np.concatenate([np.tile(frame, 100),
+                             np.zeros(len(frame), np.complex128)])
+    out = frontend.receive_capture(jnp.asarray(stream, jnp.complex64),
+                                   rate, 1500, 128)
+    crc_ok = np.asarray(out["crc_ok"])
+    assert crc_ok.sum() == 100, f"decoded {crc_ok.sum()}/100"
+    dec = np.asarray(out["payload"])[crc_ok]
+    assert (dec == payload[None, :]).all()
