@@ -5,7 +5,8 @@ TPU-native recast of the reference's frame_detector + timing_sync stages
 stateful per-sample walk, the whole capture is processed at once -
 autocorrelation ratios, plateau events, LTS matched filtering and peak
 pairing are all data-parallel; each detected STS end yields (at most) one
-frame-start offset.
+frame-start offset. Streams are planar (re, im); complex wrappers at the
+bottom for host/test use.
 
 Capacity model: detection output has a fixed `max_frames` slot count with a
 validity mask (fixed shapes under jit). Slots are ordered by stream
@@ -22,6 +23,7 @@ import numpy as np
 
 from ..config import ChainParams, DEFAULT_PARAMS
 from ..ops import correlate
+from ..ops.cplx import CArr
 from ..rates import Rate, params_for
 from . import rx as rx_model
 
@@ -29,11 +31,11 @@ from . import rx as rx_model
 LTS_CP_FROM_START = 160
 
 
-def detect_frames(stream: jnp.ndarray, max_frames: int,
-                  params: ChainParams = DEFAULT_PARAMS):
-    """Find frame starts in a 1-D capture.
+def detect_frames_p(stream: CArr, max_frames: int,
+                    params: ChainParams = DEFAULT_PARAMS):
+    """Find frame starts in a planar 1-D capture.
 
-    stream: (n,) complex samples.
+    stream: planar (re, im) of (n,) samples.
     Returns (starts (max_frames,) int32, valid (max_frames,) bool), ordered
     by position; invalid slots have start = n (sentinel).
 
@@ -46,7 +48,7 @@ def detect_frames(stream: jnp.ndarray, max_frames: int,
          (timing_sync.cpp:74-117);
       4. frame start P = min(pair) - 32 - 160.
     """
-    n = stream.shape[-1]
+    n = stream[0].shape[-1]
     ratio = correlate.sts_ratio(stream, params.sts_length)
     ends = correlate.sts_end_events(
         ratio, params.plateau_threshold, params.sts_plateau_length)
@@ -72,12 +74,11 @@ def detect_frames(stream: jnp.ndarray, max_frames: int,
     end_valid = end_pos < n
 
     search = params.lts_search  # 96
+    lts_padded = jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)])
 
     def resolve_one(e, e_valid):
         # norm values in [e, e+96), -inf outside threshold
-        win = jax.lax.dynamic_slice(
-            jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)]),
-            (e,), (search,))
+        win = jax.lax.dynamic_slice(lts_padded, (e,), (search,))
         cand = jnp.where(win > params.lts_corr_threshold, win, -jnp.inf)
         vals, rel_pos = jax.lax.top_k(cand, 5)  # descending
         pos = e + rel_pos
@@ -96,24 +97,24 @@ def detect_frames(stream: jnp.ndarray, max_frames: int,
     return starts, valid
 
 
-def receive_capture(stream: jnp.ndarray, rate: Rate, length: int,
-                    max_frames: int,
-                    params: ChainParams = DEFAULT_PARAMS):
+def receive_capture_p(stream: CArr, rate: Rate, length: int,
+                      max_frames: int,
+                      params: ChainParams = DEFAULT_PARAMS):
     """Detect and decode every frame of a known (rate, length) config.
 
-    stream: (n,) complex capture.
+    stream: planar (re, im) of an (n,) capture.
     Returns dict of per-slot arrays: starts, valid, payload
     (max_frames, length), crc_ok, header_ok - `valid & crc_ok` marks
     delivered packets (the reference chain's output contract).
     """
-    n = stream.shape[-1]
+    n = stream[0].shape[-1]
     frame_len = params_for(rate).frame_samples(length)
-    starts, valid = detect_frames(stream, max_frames, params)
+    starts, valid = detect_frames_p(stream, max_frames, params)
     # frames must fit in the capture to decode with static shapes
     fits = starts + frame_len <= n
     safe_start = jnp.where(valid & fits, starts, 0)
     out = jax.vmap(
-        lambda s: rx_model.decode_frame(stream, rate, length, start=s)
+        lambda s: rx_model.decode_frame_p(stream, rate, length, start=s)
     )(safe_start)
     ok = valid & fits
     return {
@@ -126,8 +127,23 @@ def receive_capture(stream: jnp.ndarray, rate: Rate, length: int,
 
 
 @functools.lru_cache(maxsize=None)
-def receive_capture_jit(rate: Rate, length: int, max_frames: int,
-                        params: ChainParams = DEFAULT_PARAMS):
+def receive_capture_p_jit(rate: Rate, length: int, max_frames: int,
+                          params: ChainParams = DEFAULT_PARAMS):
     return jax.jit(functools.partial(
-        receive_capture, rate=rate, length=length, max_frames=max_frames,
+        receive_capture_p, rate=rate, length=length, max_frames=max_frames,
         params=params))
+
+
+# --- complex wrappers (host/tests) ----------------------------------------
+
+def detect_frames(stream: jnp.ndarray, max_frames: int,
+                  params: ChainParams = DEFAULT_PARAMS):
+    return detect_frames_p((jnp.real(stream), jnp.imag(stream)),
+                           max_frames, params)
+
+
+def receive_capture(stream: jnp.ndarray, rate: Rate, length: int,
+                    max_frames: int,
+                    params: ChainParams = DEFAULT_PARAMS):
+    return receive_capture_p((jnp.real(stream), jnp.imag(stream)),
+                             rate, length, max_frames, params)

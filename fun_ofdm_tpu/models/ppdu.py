@@ -39,7 +39,8 @@ def _parity_int(x: int) -> int:
 def header_samples_np(rate: Rate, length: int) -> np.ndarray:
     """The 48 BPSK SIGNAL-symbol data samples for (rate, length).
 
-    Static per configuration (reference: src/ppdu.cpp:81-110).
+    Static per configuration (reference: src/ppdu.cpp:81-110). Pure numpy
+    so it is safe to call during jit tracing (it is a trace-time constant).
     """
     rp = params_for(rate)
     field = ((rp.rate_field & 0xF) << 13) | (length & 0xFFF)
@@ -49,19 +50,24 @@ def header_samples_np(rate: Rate, length: int) -> np.ndarray:
     header_bytes = np.array(
         [(field >> 16) & 0xFF, (field >> 8) & 0xFF, field & 0xFF, 0], np.int32)
     bits = np_bytes_to_bits(header_bytes)[: HEADER_BITS + TAIL_BITS]
-    coded = np.asarray(convcode.conv_encode(jnp.asarray(bits)))
-    inter = np.asarray(interleave.interleave(jnp.asarray(coded)))
-    # BPSK values are exactly +-1; build in numpy to stay dtype-agnostic
-    mod = (2.0 * inter - 1.0).astype(np.complex128)
-    return mod  # (48,) complex, +-1 on the real axis
+    # serial K=7 conv encode (24 bits) + fixed 48-bit interleave, in numpy
+    sr = 0
+    coded = np.zeros(2 * len(bits), np.int32)
+    for i, b in enumerate(bits):
+        sr = ((sr << 1) | int(b)) & 0x7F
+        coded[2 * i] = bin(sr & convcode.POLYS[0]).count("1") & 1
+        coded[2 * i + 1] = bin(sr & convcode.POLYS[1]).count("1") & 1
+    inter = np.zeros_like(coded)
+    inter[interleave.PERM] = coded
+    # BPSK values are exactly +-1
+    return (2.0 * inter - 1.0).astype(np.complex128)
 
 
-def encode_data(payload: jnp.ndarray, rate: Rate,
-                dtype=jnp.complex64) -> jnp.ndarray:
-    """Encode payload bytes to modulated data-subcarrier samples.
+def encode_data_p(payload: jnp.ndarray, rate: Rate, dtype=jnp.float32):
+    """Encode payload bytes to modulated data-subcarrier samples (planar).
 
-    payload: (..., length) int bytes. Returns (..., num_symbols*48) complex.
-    (reference: src/ppdu.cpp:112-165)
+    payload: (..., length) int bytes. Returns planar (re, im) of
+    (..., num_symbols*48). (reference: src/ppdu.cpp:112-165)
     """
     rp = params_for(rate)
     length = payload.shape[-1]
@@ -86,24 +92,35 @@ def encode_data(payload: jnp.ndarray, rate: Rate,
     coded = convcode.conv_encode(bits)  # (..., 2*n_bits)
     punctured = puncture.puncture(coded, rate)
     inter = interleave.interleave(punctured)
-    return qam.modulate(inter, rate, dtype=dtype)
+    return qam.modulate_p(inter, rate, dtype=dtype)
+
+
+def encode_p(payload: jnp.ndarray, rate: Rate, dtype=jnp.float32):
+    """Header + data samples, planar: (re, im) of (..., (1+nsym)*48)."""
+    length = payload.shape[-1]
+    hdr_np = header_samples_np(rate, length)
+    hdr_re = jnp.broadcast_to(jnp.asarray(hdr_np.real, dtype),
+                              payload.shape[:-1] + (48,))
+    hdr_im = jnp.zeros_like(hdr_re)
+    data_re, data_im = encode_data_p(payload, rate, dtype)
+    return (jnp.concatenate([hdr_re, data_re], axis=-1),
+            jnp.concatenate([hdr_im, data_im], axis=-1))
 
 
 def encode(payload: jnp.ndarray, rate: Rate, dtype=jnp.complex64) -> jnp.ndarray:
-    """Header + data samples: (..., (1+num_symbols)*48) complex."""
-    length = payload.shape[-1]
-    hdr = jnp.asarray(header_samples_np(rate, length), dtype)
-    hdr = jnp.broadcast_to(hdr, payload.shape[:-1] + (48,))
-    return jnp.concatenate([hdr, encode_data(payload, rate, dtype)], axis=-1)
+    """Complex wrapper of encode_p (host/tests)."""
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    re, im = encode_p(payload, rate, dtype=real_dtype)
+    return (re + 1j * im).astype(dtype)
 
 
-def decode_header(samples: jnp.ndarray):
-    """Decode 48 SIGNAL data samples -> (rate_field, length, ok).
+def decode_header_p(samples):
+    """Decode planar (re, im) 48 SIGNAL samples -> (rate_field, length, ok).
 
     All outputs are traced arrays; `ok` covers parity + valid-rate checks
     (reference: src/ppdu.cpp:168-218).
     """
-    soft = qam.demodulate(samples, Rate.RATE_1_2_BPSK)
+    soft = qam.demodulate_p(samples, Rate.RATE_1_2_BPSK)
     deinter = interleave.deinterleave(soft)
     bits = viterbi.viterbi_decode(deinter, HEADER_BITS)
     pad = jnp.zeros(bits.shape[:-1] + (24 - HEADER_BITS,), jnp.int32)
@@ -124,8 +141,13 @@ def decode_header(samples: jnp.ndarray):
     return rate_field, length, parity_ok & valid
 
 
-def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
-    """Decode (..., num_symbols*48) equalized data samples.
+def decode_header(samples: jnp.ndarray):
+    """Complex wrapper of decode_header_p (host/tests)."""
+    return decode_header_p((jnp.real(samples), jnp.imag(samples)))
+
+
+def decode_data_p(samples, rate: Rate, length: int):
+    """Decode planar (re, im) of (..., num_symbols*48) equalized samples.
 
     Returns (payload (..., length) int32, crc_ok (...,) bool, service).
     (reference: src/ppdu.cpp:223-295)
@@ -134,7 +156,7 @@ def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
     n_bits = rp.num_data_bits(length)
     n_bytes = rp.num_data_bytes(length)
 
-    soft = qam.demodulate(samples, rate)
+    soft = qam.demodulate_p(samples, rate)
     deinter = interleave.deinterleave(soft)
     depunct = puncture.depuncture(deinter, rate)
     decoded_bits = viterbi.viterbi_decode(depunct, n_bits - TAIL_BITS)
@@ -157,3 +179,8 @@ def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
              | (given_crc[..., 3].astype(jnp.uint32) << 24))
     calc = crc32.crc32(descrambled[..., :SERVICE_BYTES + length])
     return payload, given == calc, service
+
+
+def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
+    """Complex wrapper of decode_data_p (host/tests)."""
+    return decode_data_p((jnp.real(samples), jnp.imag(samples)), rate, length)

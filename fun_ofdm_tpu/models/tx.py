@@ -2,9 +2,13 @@
 
 TPU-native equivalent of the reference frame_builder
 (src/frame_builder.cpp:53-82): ppdu encode -> subcarrier map -> batched
-64-pt IFFT -> cyclic-prefix insert -> preamble prepend, as one pure jitted
-function over batched frames. All shapes are static per (rate, payload
-length); batch via the leading dimensions.
+64-pt IFFT (planar DFT matmuls on the MXU) -> cyclic-prefix insert ->
+preamble prepend, as one pure jitted function over batched frames. All
+shapes are static per (rate, payload length); batch via leading dims.
+
+The device path is planar (re, im) float - the target TPU backend has no
+complex-dtype support, and planar layout tiles better anyway. The complex
+`build_frame` wrapper is for host-side/test use.
 """
 
 from __future__ import annotations
@@ -20,23 +24,43 @@ from ..rates import Rate, params_for
 from . import ppdu
 
 
+def build_frame_p(payload: jnp.ndarray, rate: Rate, dtype=jnp.float32):
+    """payload (..., length) bytes -> planar (re, im) frame samples of
+    (..., 320+80*(1+nsym))."""
+    sam_re, sam_im = ppdu.encode_p(payload, rate, dtype=dtype)
+    batch = sam_re.shape[:-1]
+    syms = (sam_re.reshape(*batch, -1, 48), sam_im.reshape(*batch, -1, 48))
+    mapped = mapper.map_symbols_p(syms, start_symbol=0)  # (..., S, 64)
+    t_re, t_im = fft64.inverse_p(mapped)
+
+    def cp_and_flatten(t):
+        prefixed = jnp.concatenate([t[..., 48:], t], axis=-1)  # (..., S, 80)
+        return prefixed.reshape(*batch, -1)
+
+    flat_re, flat_im = cp_and_flatten(t_re), cp_and_flatten(t_im)
+    pre_re = jnp.broadcast_to(
+        jnp.asarray(pre.PREAMBLE_SAMPLES.real, dtype), batch + (320,))
+    pre_im = jnp.broadcast_to(
+        jnp.asarray(pre.PREAMBLE_SAMPLES.imag, dtype), batch + (320,))
+    return (jnp.concatenate([pre_re, flat_re], axis=-1),
+            jnp.concatenate([pre_im, flat_im], axis=-1))
+
+
 def build_frame(payload: jnp.ndarray, rate: Rate,
                 dtype=jnp.complex64) -> jnp.ndarray:
-    """payload (..., length) bytes -> frame (..., 320+80*(1+nsym)) samples."""
-    samples = ppdu.encode(payload, rate, dtype=dtype)  # (..., (1+nsym)*48)
-    batch = samples.shape[:-1]
-    syms = samples.reshape(*batch, -1, 48)
-    mapped = mapper.map_symbols(syms, start_symbol=0)  # (..., S, 64)
-    time = fft64.inverse(mapped).astype(dtype)
-    # cyclic prefix: prepend last 16 samples of each 64-sample symbol
-    prefixed = jnp.concatenate([time[..., 48:], time], axis=-1)  # (..., S, 80)
-    flat = prefixed.reshape(*batch, -1)
-    pream = jnp.asarray(pre.PREAMBLE_SAMPLES, dtype)
-    pream = jnp.broadcast_to(pream, batch + (320,))
-    return jnp.concatenate([pream, flat], axis=-1)
+    """Complex wrapper of build_frame_p (host/tests)."""
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    re, im = build_frame_p(payload, rate, dtype=real_dtype)
+    return (re + 1j * im).astype(dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def build_frame_jit(rate: Rate, dtype=jnp.complex64):
-    """A jitted build_frame specialized for one rate."""
+    """A jitted complex build_frame specialized for one rate."""
     return jax.jit(functools.partial(build_frame, rate=rate, dtype=dtype))
+
+
+@functools.lru_cache(maxsize=None)
+def build_frame_p_jit(rate: Rate, dtype=jnp.float32):
+    """A jitted planar build_frame specialized for one rate (device path)."""
+    return jax.jit(functools.partial(build_frame_p, rate=rate, dtype=dtype))

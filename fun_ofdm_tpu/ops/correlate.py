@@ -1,4 +1,4 @@
-"""Sliding-window correlators for the RX front-end.
+"""Sliding-window correlators for the RX front-end (planar complex).
 
 TPU-native replacements for the reference's per-sample loops:
 
@@ -8,10 +8,10 @@ TPU-native replacements for the reference's per-sample loops:
   * plateau detection (reference: src/frame_detector.cpp:65-82) -> a
     cummax run-length trick instead of a stateful counter.
   * 64-tap LTS cross-correlation (reference: src/timing_sync.cpp:74-86)
-    -> one correlation over the whole stream as a matmul against the LTS
-    taps so it rides the MXU when batched.
+    -> 64 shifted scaled adds over the whole stream (fusable elementwise).
 
-All functions operate on the last axis and broadcast over leading dims.
+All functions take planar (re, im) streams, operate on the last axis, and
+broadcast over leading dims.
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import preamble as pre
+from .cplx import CArr
 
 
 def _trailing_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -33,30 +34,35 @@ def _trailing_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
     return acc
 
 
-def sts_autocorrelation(x: jnp.ndarray, lag: int = 16):
+def sts_autocorrelation(x: CArr, lag: int = 16):
     """Schmidl&Cox-style lagged autocorrelation and power, per sample.
 
     corr[n] = sum over the last 16 samples of x[k]*conj(x[k-16]) (x[<0]=0),
     power[n] = sum of |x[k]|^2 over the same window - exactly the two
     circular accumulators in the reference detector.
-    Returns (corr complex, power real), same shapes as x.
+    Returns (corr planar, power real), shapes of x.
     """
-    pad = jnp.zeros(x.shape[:-1] + (lag,), x.dtype)
-    delayed = jnp.concatenate([pad, x[..., :-lag]], axis=-1)
-    prod = x * jnp.conj(delayed)
-    corr = _trailing_window_sum(prod, lag)
-    power = _trailing_window_sum(jnp.abs(x) ** 2, lag)
+    re, im = x
+    pad = jnp.zeros(re.shape[:-1] + (lag,), re.dtype)
+    dre = jnp.concatenate([pad, re[..., :-lag]], axis=-1)
+    dim = jnp.concatenate([pad, im[..., :-lag]], axis=-1)
+    # x * conj(delayed)
+    p_re = re * dre + im * dim
+    p_im = im * dre - re * dim
+    corr = (_trailing_window_sum(p_re, lag), _trailing_window_sum(p_im, lag))
+    power = _trailing_window_sum(re * re + im * im, lag)
     return corr, power
 
 
-def sts_ratio(x: jnp.ndarray, lag: int = 16) -> jnp.ndarray:
+def sts_ratio(x: CArr, lag: int = 16) -> jnp.ndarray:
     """Normalized |corr|/power with zero-power guarded to 0.
 
     (The reference computes NaN at zero power, and NaN > threshold is
     false - guarding to 0 gives identical comparisons.)
     """
     corr, power = sts_autocorrelation(x, lag)
-    return jnp.where(power > 0, jnp.abs(corr) / jnp.where(power > 0, power, 1), 0.0)
+    mag = jnp.sqrt(corr[0] * corr[0] + corr[1] * corr[1])
+    return jnp.where(power > 0, mag / jnp.where(power > 0, power, 1), 0.0)
 
 
 def plateau_run_lengths(above: jnp.ndarray) -> jnp.ndarray:
@@ -84,24 +90,31 @@ def sts_end_events(ratio: jnp.ndarray, threshold: float,
     return (~above) & (prev_run >= plateau_len)
 
 
-def lts_correlation(x: jnp.ndarray):
+def lts_correlation(x: CArr) -> jnp.ndarray:
     """64-tap LTS matched filter over the whole stream.
 
     norm[p] = |sum_s x[p+s] * conj(LTS[s])| / sum_s |x[p+s]|^2
     (reference: timing_sync.cpp:77-84). Positions with p+63 beyond the end
     are zero. Returns (..., n) float.
     """
-    n = x.shape[-1]
+    re, im = x
+    n = re.shape[-1]
     taps = np.asarray(pre.LTS_TIME_DOMAIN_CONJ)
-    pad = jnp.zeros(x.shape[:-1] + (63,), x.dtype)
-    xp = jnp.concatenate([x, pad], axis=-1)
+    pad = jnp.zeros(re.shape[:-1] + (63,), re.dtype)
+    rep = jnp.concatenate([re, pad], axis=-1)
+    imp = jnp.concatenate([im, pad], axis=-1)
     # 64 shifted scaled adds: O(n) memory, fully fusable elementwise work
-    corr = jnp.zeros(x.shape, x.dtype)
-    power = jnp.zeros(x.shape, jnp.real(x).dtype)
+    c_re = jnp.zeros(re.shape, re.dtype)
+    c_im = jnp.zeros(re.shape, re.dtype)
+    power = jnp.zeros(re.shape, re.dtype)
     for s in range(64):
-        shifted = xp[..., s: s + n]
-        corr = corr + shifted * jnp.asarray(taps[s], x.dtype)
-        power = power + jnp.abs(shifted) ** 2
+        sre = rep[..., s: s + n]
+        sim = imp[..., s: s + n]
+        tr, ti = float(taps[s].real), float(taps[s].imag)
+        c_re = c_re + sre * tr - sim * ti
+        c_im = c_im + sre * ti + sim * tr
+        power = power + sre * sre + sim * sim
     valid = jnp.arange(n) <= n - 64
-    norm = jnp.where(power > 0, jnp.abs(corr) / jnp.where(power > 0, power, 1), 0.0)
+    mag = jnp.sqrt(c_re * c_re + c_im * c_im)
+    norm = jnp.where(power > 0, mag / jnp.where(power > 0, power, 1), 0.0)
     return jnp.where(valid, norm, 0.0)

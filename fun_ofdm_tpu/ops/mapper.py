@@ -41,19 +41,30 @@ def polarity_for_symbols(num_symbols: int, start: int = 0) -> np.ndarray:
     return POLARITY[idx]
 
 
-def map_symbols(data: jnp.ndarray, start_symbol: int = 0) -> jnp.ndarray:
-    """(..., nsym, 48) data samples -> (..., nsym, 64) OFDM symbols.
+def map_symbols_p(data, start_symbol: int = 0):
+    """Planar (re, im) of (..., nsym, 48) data -> (..., nsym, 64) symbols.
 
-    Inserts pilots (PILOT_VALUES * POLARITY[symbol index]) and zero nulls.
-    `start_symbol` is the polarity index of the first symbol (0 = SIGNAL).
+    Inserts pilots (PILOT_VALUES * POLARITY[symbol index], purely real)
+    and zero nulls. `start_symbol` is the polarity index of the first
+    symbol (0 = SIGNAL).
     """
-    nsym = data.shape[-2]
-    out = jnp.zeros(data.shape[:-1] + (64,), dtype=data.dtype)
-    out = out.at[..., jnp.asarray(DATA_IDX)].set(data)
-    pol = jnp.asarray(polarity_for_symbols(nsym, start_symbol))  # (nsym,)
-    pilots = pol[:, None] * jnp.asarray(PILOT_VALUES)[None, :]  # (nsym, 4)
-    out = out.at[..., jnp.asarray(PILOT_IDX)].set(pilots.astype(data.dtype))
-    return out
+    re, im = data
+    nsym = re.shape[-2]
+    out_re = jnp.zeros(re.shape[:-1] + (64,), dtype=re.dtype)
+    out_im = jnp.zeros(im.shape[:-1] + (64,), dtype=im.dtype)
+    out_re = out_re.at[..., jnp.asarray(DATA_IDX)].set(re)
+    out_im = out_im.at[..., jnp.asarray(DATA_IDX)].set(im)
+    pol = polarity_for_symbols(nsym, start_symbol)  # (nsym,)
+    pilots = (pol[:, None] * PILOT_VALUES[None, :])  # (nsym, 4)
+    out_re = out_re.at[..., jnp.asarray(PILOT_IDX)].set(
+        jnp.asarray(pilots, re.dtype))
+    return out_re, out_im
+
+
+def map_symbols(data: jnp.ndarray, start_symbol: int = 0) -> jnp.ndarray:
+    """Complex wrapper of map_symbols_p (host/tests)."""
+    re, im = map_symbols_p((jnp.real(data), jnp.imag(data)), start_symbol)
+    return (re + 1j * im).astype(data.dtype)
 
 
 def demap_symbols(symbols: jnp.ndarray) -> jnp.ndarray:

@@ -64,21 +64,28 @@ def _encode_lut(axis_bits: int, power: float) -> np.ndarray:
     return out
 
 
-def modulate(bits: jnp.ndarray, rate: Rate, dtype=jnp.complex64) -> jnp.ndarray:
-    """(..., n) coded bits -> (..., n/bpsc) complex symbols."""
+def modulate_p(bits: jnp.ndarray, rate: Rate, dtype=jnp.float32):
+    """(..., n) coded bits -> planar (re, im) of (..., n/bpsc) symbols."""
     bpsc = params_for(rate).bpsc
     axis_bits, power = _MOD_CFG[bpsc]
-    lut = jnp.asarray(_encode_lut(axis_bits, power))
+    lut = jnp.asarray(_encode_lut(axis_bits, power), dtype)
     bits = jnp.asarray(bits, jnp.int32)
     n = bits.shape[-1]
     if bpsc == 1:  # BPSK: one bit -> real axis
         re = lut[bits]
-        return (re + 0j).astype(dtype)
+        return re, jnp.zeros_like(re)
     groups = bits.reshape(*bits.shape[:-1], n // bpsc, bpsc)
     weights = jnp.asarray(2 ** np.arange(axis_bits - 1, -1, -1, dtype=np.int32))
     i_idx = jnp.sum(groups[..., :axis_bits] * weights, axis=-1)
     q_idx = jnp.sum(groups[..., axis_bits:] * weights, axis=-1)
-    return (lut[i_idx] + 1j * lut[q_idx]).astype(dtype)
+    return lut[i_idx], lut[q_idx]
+
+
+def modulate(bits: jnp.ndarray, rate: Rate, dtype=jnp.complex64) -> jnp.ndarray:
+    """Complex wrapper of modulate_p (host/tests)."""
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    re, im = modulate_p(bits, rate, dtype=real_dtype)
+    return (re + 1j * im).astype(dtype)
 
 
 def _axis_soft_decode(vals: jnp.ndarray, axis_bits: int, power: float) -> jnp.ndarray:
@@ -99,13 +106,20 @@ def _axis_soft_decode(vals: jnp.ndarray, axis_bits: int, power: float) -> jnp.nd
     return jnp.stack(outs, axis=-1)
 
 
-def demodulate(symbols: jnp.ndarray, rate: Rate) -> jnp.ndarray:
-    """(..., m) complex symbols -> (..., m*bpsc) soft bits (int32, 0..255)."""
+def demodulate_p(symbols, rate: Rate) -> jnp.ndarray:
+    """Planar (re, im) of (..., m) symbols -> (..., m*bpsc) soft bits
+    (int32, 0..255)."""
+    sym_re, sym_im = symbols
     bpsc = params_for(rate).bpsc
     axis_bits, power = _MOD_CFG[bpsc]
-    re = _axis_soft_decode(jnp.real(symbols), axis_bits, power)
+    re = _axis_soft_decode(sym_re, axis_bits, power)
     if bpsc == 1:
-        return re.reshape(*symbols.shape[:-1], -1)
-    im = _axis_soft_decode(jnp.imag(symbols), axis_bits, power)
+        return re.reshape(*sym_re.shape[:-1], -1)
+    im = _axis_soft_decode(sym_im, axis_bits, power)
     both = jnp.concatenate([re, im], axis=-1)  # (..., m, bpsc)
-    return both.reshape(*symbols.shape[:-1], -1)
+    return both.reshape(*sym_re.shape[:-1], -1)
+
+
+def demodulate(symbols: jnp.ndarray, rate: Rate) -> jnp.ndarray:
+    """Complex wrapper of demodulate_p (host/tests)."""
+    return demodulate_p((jnp.real(symbols), jnp.imag(symbols)), rate)
