@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import preamble as pre
 from ..ops import cplx, fft64, mapper
@@ -61,6 +62,33 @@ def extract_symbols_p(samples: CArr, start, num_symbols: int):
     lts_re, syms_re = fn(samples[0], start)
     lts_im, syms_im = fn(samples[1], start)
     return (lts_re, lts_im), (syms_re, syms_im)
+
+
+def estimate_cfo_p(lts_time: CArr) -> jnp.ndarray:
+    """Carrier-frequency-offset estimate from the two LTS symbols.
+
+    lts_time: planar (..., 2, 64). The second LTS body is the first delayed
+    by exactly 64 samples, so x2[n] = x1[n] * e^{j*w*64} and
+    w = angle(sum_n x2[n]*conj(x1[n])) / 64 radians/sample.
+
+    The reference *intends* this (its per-sample derotation scaffolding,
+    src/timing_sync.cpp:109-125) but the estimation loop is dead code
+    (`for(k=LTS1; k<LTS1; k++)` never runs), so it effectively applies a
+    constant phase only. This is the corrected, opt-in native-mode
+    implementation; see decode_frame_p(cfo_correct=True).
+    """
+    l1 = (lts_time[0][..., 0, :], lts_time[1][..., 0, :])
+    l2 = (lts_time[0][..., 1, :], lts_time[1][..., 1, :])
+    acc_re = jnp.sum(l2[0] * l1[0] + l2[1] * l1[1], axis=-1)
+    acc_im = jnp.sum(l2[1] * l1[0] - l2[0] * l1[1], axis=-1)
+    return jnp.arctan2(acc_im, acc_re) / 64.0
+
+
+def _derotate_p(x: CArr, w: jnp.ndarray, idx) -> CArr:
+    """Multiply planar x by e^{-j * w * idx} (idx broadcast over x's tail)."""
+    ang = w[..., None, None] * jnp.asarray(idx, x[0].dtype)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    return x[0] * c + x[1] * s, x[1] * c - x[0] * s
 
 
 def channel_estimate_p(lts_time: CArr) -> CArr:
@@ -107,12 +135,17 @@ def equalize_and_track_p(sym_time: CArr, h_inv: CArr) -> CArr:
     return cplx.mul(data, (rot[0][..., None], rot[1][..., None]))
 
 
-def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0):
+def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
+                   cfo_correct: bool = False):
     """Full frame decode from a raw planar sample stream.
 
     samples: planar (re, im) of (..., n) containing a frame whose preamble
     starts at `start` (static or traced ints, broadcast over batch).
     rate, length: static frame configuration.
+    cfo_correct: estimate CFO from the LTS pair and derotate all symbols
+    (native-mode improvement; the reference's CFO loop is dead code,
+    src/timing_sync.cpp:109-112, so its effective correction is a constant
+    phase that the equalizer absorbs anyway).
 
     Returns dict with payload (..., length), crc_ok, header_ok,
     rate_field, hdr_length, service.
@@ -122,6 +155,17 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0):
     start = jnp.broadcast_to(jnp.asarray(start, jnp.int32),
                              samples[0].shape[:-1])
     lts, syms = extract_symbols_p(samples, start, nsym)
+    if cfo_correct:
+        w = estimate_cfo_p(lts)
+        # sample indices relative to the LTS1 body start; the leftover
+        # constant phase e^{-j*w*(LTS1 abs offset)} is common to LTS and
+        # data symbols, so the zero-forcing equalizer absorbs it
+        lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
+        sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
+                   + 80 * np.arange(1 + nsym)[:, None]
+                   + np.arange(64)[None, :])
+        lts = _derotate_p(lts, w, lts_idx)
+        syms = _derotate_p(syms, w, sym_idx)
     h_inv = channel_estimate_p(lts)
     data = equalize_and_track_p(syms, h_inv)  # planar (..., 1+nsym, 48)
 
@@ -140,19 +184,22 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0):
     }
 
 
-def decode_frame(samples: jnp.ndarray, rate: Rate, length: int, start=0):
+def decode_frame(samples: jnp.ndarray, rate: Rate, length: int, start=0,
+                 cfo_correct: bool = False):
     """Complex wrapper of decode_frame_p (host/tests)."""
     return decode_frame_p((jnp.real(samples), jnp.imag(samples)),
-                          rate, length, start)
+                          rate, length, start, cfo_correct=cfo_correct)
 
 
 @functools.lru_cache(maxsize=None)
-def decode_frame_jit(rate: Rate, length: int):
+def decode_frame_jit(rate: Rate, length: int, cfo_correct: bool = False):
     """Jitted complex decode_frame specialized for one (rate, length)."""
-    return jax.jit(functools.partial(decode_frame, rate=rate, length=length))
+    return jax.jit(functools.partial(
+        decode_frame, rate=rate, length=length, cfo_correct=cfo_correct))
 
 
 @functools.lru_cache(maxsize=None)
-def decode_frame_p_jit(rate: Rate, length: int):
+def decode_frame_p_jit(rate: Rate, length: int, cfo_correct: bool = False):
     """Jitted planar decode_frame (device path)."""
-    return jax.jit(functools.partial(decode_frame_p, rate=rate, length=length))
+    return jax.jit(functools.partial(
+        decode_frame_p, rate=rate, length=length, cfo_correct=cfo_correct))
