@@ -37,6 +37,7 @@ Two execution strategies:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -106,13 +107,40 @@ def _acs_step(metrics: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray):
     return new, dec
 
 
-def viterbi_decode(soft: jnp.ndarray, nbits: int) -> jnp.ndarray:
-    """Decode soft symbols to bits.
+def default_impl() -> str:
+    """'pallas' on TPU, 'scan' elsewhere; FUN_OFDM_VITERBI overrides."""
+    env = os.environ.get("FUN_OFDM_VITERBI")
+    if env:
+        return env
+    dev = jax.config.jax_default_device
+    platform = dev.platform if dev is not None else jax.default_backend()
+    return "pallas" if platform == "tpu" else "scan"
+
+
+#: below this many data bits the scan path wins (kernel launch overhead)
+PALLAS_MIN_NBITS = 64
+
+
+def viterbi_decode(soft: jnp.ndarray, nbits: int,
+                   impl: str | None = None) -> jnp.ndarray:
+    """Decode soft symbols to bits (dispatches to the best backend impl).
 
     soft:  (..., 2*(nbits+6)) int32 soft coded bits (0..255; >=128 leans 1).
     nbits: number of data bits to output (static).
+    impl:  'scan' | 'pallas' | None (auto: Pallas kernel on TPU for
+           non-trivial trellises, lax.scan otherwise). Both are bit-exact.
     Returns (..., nbits) int32 decoded bits.
     """
+    impl = impl or default_impl()
+    if impl == "pallas" and nbits >= PALLAS_MIN_NBITS:
+        from . import viterbi_pallas
+
+        return viterbi_pallas.viterbi_decode_pallas(soft, nbits)
+    return viterbi_decode_scan(soft, nbits)
+
+
+def viterbi_decode_scan(soft: jnp.ndarray, nbits: int) -> jnp.ndarray:
+    """lax.scan trellis (exact, portable baseline impl)."""
     soft = jnp.asarray(soft, jnp.int32)
     total_steps = nbits + (K - 1)
     steps = (total_steps // 2) * 2  # reference drops a trailing odd step

@@ -1,0 +1,242 @@
+"""Pallas TPU kernel for the Viterbi trellis (K=7, rate-1/2, 64 states).
+
+This is the TPU-native equivalent of the reference's SPIRAL-generated SSE
+add-compare-select kernel (reference: src/viterbi.cpp:208-459) and is
+bit-exact with ops/viterbi.viterbi_decode (the lax.scan formulation), which
+itself is bit-exact with the reference semantics.
+
+Why a kernel: the trellis is sequential in time, so as a lax.scan it issues
+one tiny XLA op per step (~12k steps for a 1500-byte frame) and the chip
+idles on dispatch overhead. Here the whole trellis runs inside two
+pallas_calls with the path metrics resident in VMEM:
+
+  * layout: 64 trellis states on sublanes, frames on lanes (BATCH_TILE=128),
+    so one ACS step is a handful of (64, 128) VPU ops;
+  * forward pass: grid (batch_tiles, time_chunks); metrics live in VMEM
+    scratch across grid steps; per-step decision bits stream out to HBM as
+    int8 blocks (Pallas double-buffers the DMA behind the compute);
+  * chainback pass: a second pallas_call walks the decision blocks with a
+    time-reversed index map, carrying the survivor state in scratch; the
+    per-lane "read decision bit at my state" gather is a one-hot multiply +
+    sublane reduction (TPU has no per-lane dynamic gather).
+
+Integer semantics follow the reference exactly: metrics are u8 values
+carried in int32 (saturating add at 255, init 63 with state 0 at 0,
+renormalize by the lane minimum when the state-0 metric exceeds 210,
+ties in the compare go to the high-half path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .viterbi import K, NUMSTATES, _branch_bits
+
+BATCH_TILE = 128   # frames per lane tile
+TIME_CHUNK = 256   # trellis steps per grid step
+
+
+@functools.lru_cache(maxsize=None)
+def _branch_cols() -> np.ndarray:
+    """(64, 1) int32: [e0 for 32 butterflies; e1 for 32 butterflies]."""
+    bt0, bt1 = _branch_bits()
+    return np.concatenate([bt0, bt1]).reshape(64, 1).astype(np.int32)
+
+
+def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
+    """Forward ACS over one (batch_tile, time_chunk) block.
+
+    steps_ref: SMEM (1,) int32 - number of real trellis steps (even).
+    bt_ref: VMEM (64, 1) int32 branch table [e0 x32; e1 x32].
+    s0_ref/s1_ref: VMEM (TIME_CHUNK, B) int32 soft symbol pairs.
+    dec_ref: VMEM out (TIME_CHUNK, 64, B) int8 decision bits.
+    metrics_ref: VMEM scratch (64, B) int32, persists across time chunks.
+    """
+    t_chunk = pl.program_id(1)
+
+    @pl.when(t_chunk == 0)
+    def _():
+        row = jax.lax.broadcasted_iota(jnp.int32, metrics_ref.shape, 0)
+        metrics_ref[:] = jnp.where(row == 0, 0, 63)
+
+    e = bt_ref[:]                            # (64, 1): e0 rows then e1 rows
+    e0 = e[:32]                              # (32, 1)
+    e1 = e[32:]
+    steps = steps_ref[0]
+    base = t_chunk * TIME_CHUNK
+
+    def body(i, _):
+        s0 = s0_ref[i, :][None, :]           # (1, B)
+        s1 = s1_ref[i, :][None, :]
+        a = jnp.where(e0 == 1, 255 - s0, s0)  # (32, B)
+        b = jnp.where(e1 == 1, 255 - s1, s1)
+        t = (a + b + 1) >> 3                  # 0..63
+        tc = 63 - t
+
+        m = metrics_ref[:]                    # (64, B)
+        lo = m[:32, :]
+        hi = m[32:, :]
+        m_even_lo = jnp.minimum(lo + t, 255)
+        m_even_hi = jnp.minimum(hi + tc, 255)
+        m_odd_lo = jnp.minimum(lo + tc, 255)
+        m_odd_hi = jnp.minimum(hi + t, 255)
+
+        new_even = jnp.minimum(m_even_lo, m_even_hi)
+        dec_even = (m_even_hi <= m_even_lo).astype(jnp.int8)
+        new_odd = jnp.minimum(m_odd_lo, m_odd_hi)
+        dec_odd = (m_odd_hi <= m_odd_lo).astype(jnp.int8)
+
+        bsz = m.shape[1]
+        new = jnp.stack([new_even, new_odd], axis=1).reshape(64, bsz)
+        dec = jnp.stack([dec_even, dec_odd], axis=1).reshape(64, bsz)
+
+        need = new[0:1, :] > 210
+        new = jnp.where(need, new - jnp.min(new, axis=0, keepdims=True), new)
+
+        live = (base + i) < steps            # steps beyond the trellis are
+        dec_ref[i] = jnp.where(live, dec, 0)  # zero-filled (viterbi.cpp:193)
+        metrics_ref[:] = jnp.where(live, new, m)
+        return 0
+
+    jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
+
+
+def _chainback_kernel(dec_ref, out_ref, state_ref):
+    """Survivor chainback over one time chunk, walked newest-to-oldest.
+
+    dec_ref: VMEM (TIME_CHUNK, 64, B) int8 decisions (time-reversed grid).
+    out_ref: VMEM (TIME_CHUNK, B) int32 - decision bit read at each step.
+    state_ref: VMEM scratch (1, B) int32 survivor state, persists.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    def body(k, _):
+        i = TIME_CHUNK - 1 - k
+        dec = dec_ref[i].astype(jnp.int32)    # (64, B)
+        state = state_ref[:]                  # (1, B)
+        row = jax.lax.broadcasted_iota(jnp.int32, dec.shape, 0)
+        bit = jnp.sum(jnp.where(row == state, dec, 0), axis=0, keepdims=True)
+        out_ref[i, :] = bit[0, :]
+        state_ref[:] = (state >> 1) | (bit << 5)
+        return 0
+
+    jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
+def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, nbits: int,
+                  interpret: bool = False) -> jnp.ndarray:
+    """Decode (B, T_pad) soft pairs -> (B, nbits) bits. B, T_pad pre-padded."""
+    bsz, t_pad = s0.shape
+    total_steps = nbits + (K - 1)
+    steps = (total_steps // 2) * 2  # reference drops a trailing odd step
+    n_bt = bsz // BATCH_TILE
+    n_tc = t_pad // TIME_CHUNK
+
+    s0 = s0.T  # (T_pad, B): time on sublanes, frames on lanes
+    s1 = s1.T
+
+    dec = pl.pallas_call(
+        _acs_kernel,
+        grid=(n_bt, n_tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((NUMSTATES, 1), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TIME_CHUNK, BATCH_TILE), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TIME_CHUNK, BATCH_TILE), lambda b, t: (t, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIME_CHUNK, NUMSTATES, BATCH_TILE), lambda b, t: (t, 0, b),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, NUMSTATES, bsz), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((NUMSTATES, BATCH_TILE), jnp.int32)],
+        interpret=interpret,
+    )(jnp.array([steps], jnp.int32), jnp.asarray(_branch_cols()), s0, s1)
+
+    ks = pl.pallas_call(
+        _chainback_kernel,
+        grid=(n_bt, n_tc),
+        in_specs=[
+            pl.BlockSpec((TIME_CHUNK, NUMSTATES, BATCH_TILE),
+                         lambda b, t: (pl.num_programs(1) - 1 - t, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TIME_CHUNK, BATCH_TILE),
+            lambda b, t: (pl.num_programs(1) - 1 - t, b),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bsz), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, BATCH_TILE), jnp.int32)],
+        interpret=interpret,
+    )(dec)
+
+    # decoded bit n is the decision bit read at trellis step n + 6
+    return ks[K - 1: K - 1 + nbits, :].T  # (B, nbits)
+
+
+def _viterbi_decode_impl(soft: jnp.ndarray, nbits: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    soft = jnp.asarray(soft, jnp.int32)
+    batch_shape = soft.shape[:-1]
+    total_steps = nbits + (K - 1)
+
+    flat = soft.reshape(-1, soft.shape[-1])
+    bsz = flat.shape[0]
+    b_pad = _cdiv(max(bsz, 1), BATCH_TILE) * BATCH_TILE
+    t_pad = _cdiv(total_steps, TIME_CHUNK) * TIME_CHUNK
+
+    pairs = jnp.zeros((b_pad, 2 * t_pad), jnp.int32)
+    pairs = pairs.at[:bsz, : soft.shape[-1]].set(flat)
+    s0 = pairs[:, 0::2]
+    s1 = pairs[:, 1::2]
+
+    bits = _decode_tiles(s0, s1, nbits, interpret=interpret)
+    return bits[:bsz].reshape(*batch_shape, nbits)
+
+
+@functools.lru_cache(maxsize=None)
+def _decoder(nbits: int, interpret: bool):
+    """custom_vmap'd decoder for one static (nbits, interpret) config.
+
+    The impl natively handles arbitrary leading batch dims by flattening
+    them into the kernel's lane tile, so every vmap level (frames,
+    channels, ...) should collapse into that flat batch instead of going
+    through Pallas's default vmap rule (which would add grid dimensions
+    with mostly-empty 128-lane tiles).
+    """
+    @jax.custom_batching.custom_vmap
+    def f(soft):
+        return _viterbi_decode_impl(soft, nbits, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, soft):
+        (sb,) = in_batched
+        return f(soft), sb
+
+    return f
+
+
+def viterbi_decode_pallas(soft: jnp.ndarray, nbits: int,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Drop-in Pallas replacement for ops.viterbi.viterbi_decode.
+
+    soft:  (..., 2*(nbits+6)) int soft coded bits (0..255; >=128 leans 1).
+    nbits: number of data bits to output (static).
+    Returns (..., nbits) int32 decoded bits, bit-exact with the scan path.
+    """
+    return _decoder(nbits, interpret)(jnp.asarray(soft, jnp.int32))
