@@ -38,7 +38,8 @@ def main() -> None:
     length = 1500
     frame_len = params_for(rate).frame_samples(length)  # 7120
 
-    channels = 4
+    # 128 frames fills the Viterbi kernel's 128-lane batch tile exactly
+    channels = 16
     frames_per_channel = 8
 
     rng = np.random.default_rng(0)
@@ -70,10 +71,18 @@ def main() -> None:
     expected = channels * frames_per_channel
     assert ok == expected, f"decoded {ok}/{expected}"
 
-    reps = 3
+    # Chain each rep's input on the previous rep's output (numerically a
+    # no-op) so reps serialize; the axon tunnel pipelines aggressively and
+    # same-input timing loops under-measure.
+    chain = jax.jit(
+        lambda re_s, ok: re_s + 0.0 * ok.sum().astype(re_s.dtype))
+    reps = 10
+    ok_dev = out["crc_ok"]
+    jax.block_until_ready(chain(streams_dev[0], ok_dev))  # compile chain
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*streams_dev)
+        out = fn(chain(streams_dev[0], ok_dev), streams_dev[1])
+        ok_dev = out["crc_ok"]
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
 

@@ -31,6 +31,27 @@ from . import rx as rx_model
 LTS_CP_FROM_START = 160
 
 
+def _first_k_true(mask: jnp.ndarray, k: int):
+    """Positions of the first k True values of a 1-D mask, in order.
+
+    Returns (pos (k,) int32 with n as fill, valid (k,) bool). Equivalent to
+    jnp.nonzero(mask, size=k, fill_value=n) but XLA lowers that to a slow
+    sequential custom-call on TPU (~2 ms on a 236k stream); here slot
+    positions come from one (k, n) one-hot-of-rank matmul on the MXU
+    (exact: positions < 2^24 in f32).
+    """
+    n = mask.shape[-1]
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - mask.astype(jnp.int32)
+    slot = jnp.where(mask, rank, k)  # k = "no slot"
+    onehot = (slot[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None])
+    idx = jnp.arange(n, dtype=jnp.float32)
+    pos = jnp.dot(onehot.astype(jnp.float32), idx,
+                  preferred_element_type=jnp.float32)
+    count = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    valid = jnp.arange(k, dtype=jnp.int32) < count
+    return jnp.where(valid, pos.astype(jnp.int32), n), valid
+
+
 def detect_frames_p(stream: CArr, max_frames: int,
                     params: ChainParams = DEFAULT_PARAMS):
     """Find frame starts in a planar 1-D capture.
@@ -70,8 +91,7 @@ def detect_frames_p(stream: CArr, max_frames: int,
         reach = reach | shifted
     ends = ends & reach
 
-    (end_pos,) = jnp.nonzero(ends, size=max_frames, fill_value=n)
-    end_valid = end_pos < n
+    end_pos, end_valid = _first_k_true(ends, max_frames)
 
     search = params.lts_search  # 96
     lts_padded = jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)])

@@ -102,11 +102,63 @@ def _block_tables(block: int = BLOCK) -> tuple[np.ndarray, np.ndarray]:
     return state_tables, byte_tables
 
 
+@functools.lru_cache(maxsize=None)
+def _bit_matrix(n: int) -> np.ndarray:
+    """(8n, 32) float 0/1: row 8j+i = L^(8(n-1-j))(T[1<<i]) bit-expanded.
+
+    CRC-32 is GF(2)-linear in the message bits, so the whole checksum is
+    one 0/1 matmul mod 2 - MXU work instead of a byte-serial gather scan.
+    Bit i here is the i-th LSB of byte j.
+    """
+    cols = _shift8_matrix()
+    t = _byte_table()
+    w = np.zeros((8 * n, 32), dtype=np.float32)
+    # c_j = L^(8(n-1-j)) applied to T[1<<i]; build from the last byte back
+    cur = np.array([int(t[1 << i]) for i in range(8)], dtype=np.uint64)
+    for j in range(n - 1, -1, -1):
+        for i in range(8):
+            w[8 * j + i, :] = [(int(cur[i]) >> k) & 1 for k in range(32)]
+        if j:
+            cur = np.array([_apply_cols(cols, int(c)) for c in cur],
+                           dtype=np.uint64)
+    return w
+
+
 def crc32(data: jnp.ndarray) -> jnp.ndarray:
     """Batched CRC-32. data: (..., n) int32/uint8 bytes -> (...,) uint32.
 
-    n is static; processed in ceil(n/BLOCK) scan steps. Matches zlib.crc32.
+    n is static. One (batch, 8n) x (8n, 32) 0/1 matmul mod 2 (exact in f32
+    for n < 2M bits), plus the init/final-xor constants folded in at trace
+    time. Matches zlib.crc32 / boost::crc_32_type (reference:
+    src/ppdu.cpp:134-137).
     """
+    data = jnp.asarray(data, jnp.int32)
+    n = data.shape[-1]
+    batch_shape = data.shape[:-1]
+
+    # bits (..., 8n), bit i = i-th LSB of byte j at column 8j+i
+    bits = jnp.stack([(data >> i) & 1 for i in range(8)], axis=-1)
+    bits = bits.reshape(batch_shape + (8 * n,)).astype(jnp.float32)
+
+    w = jnp.asarray(_bit_matrix(n))
+    acc = jnp.dot(bits, w, preferred_element_type=jnp.float32)
+    state_bits = jnp.mod(acc, 2.0).astype(jnp.uint32)  # (..., 32)
+
+    weights = jnp.asarray(
+        np.array([1 << k for k in range(32)], dtype=np.uint32))
+    state = jnp.sum(state_bits * weights, axis=-1, dtype=jnp.uint32)
+
+    # init-state contribution: L^(8n)(0xFFFFFFFF), a trace-time constant
+    t = _byte_table()
+    init_contrib = np.uint32(0xFFFFFFFF)
+    for _ in range(n):
+        init_contrib = np.uint32(
+            t[init_contrib & np.uint32(0xFF)] ^ (init_contrib >> np.uint32(8)))
+    return state ^ jnp.uint32(init_contrib) ^ jnp.uint32(0xFFFFFFFF)
+
+
+def crc32_scan(data: jnp.ndarray) -> jnp.ndarray:
+    """Batched CRC-32 as a block scan (portable baseline; same contract)."""
     data = jnp.asarray(data)
     n = data.shape[-1]
     batch_shape = data.shape[:-1]
