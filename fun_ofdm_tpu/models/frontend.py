@@ -25,6 +25,7 @@ from ..config import ChainParams, DEFAULT_PARAMS
 from ..ops import correlate
 from ..ops.cplx import CArr
 from ..rates import Rate, params_for
+from . import ppdu as ppdu_model
 from . import rx as rx_model
 
 #: preamble-start offset from the LTS CP start (P + 160 = lts CP)
@@ -141,6 +142,84 @@ def receive_capture_p(stream: CArr, rate: Rate, length: int,
         "starts": starts,
         "valid": ok,
         "payload": out["payload"],
+        "crc_ok": out["crc_ok"] & ok,
+        "header_ok": out["header_ok"] & ok,
+    }
+
+
+def decode_headers_p(stream: CArr, max_frames: int,
+                     params: ChainParams = DEFAULT_PARAMS):
+    """Detect frames and decode only their SIGNAL headers.
+
+    Cheap and rate-independent (the header is always 1/2-BPSK,
+    src/ppdu.cpp:81): the host runtime uses this to learn each frame's
+    (rate_field, length) before dispatching a batched payload decode
+    (reference analogue: frame_decoder's header pass,
+    src/frame_decoder.cpp:72-78).
+
+    Returns dict: starts, valid, rate_field, hdr_length, header_ok.
+    """
+    n = stream[0].shape[-1]
+    starts, valid = detect_frames_p(stream, max_frames, params)
+    # header needs preamble + SIGNAL symbol = 400 samples; pad so clamped
+    # slices near the stream end stay aligned
+    pad = jnp.zeros(stream[0].shape[:-1] + (400,), stream[0].dtype)
+    padded = (jnp.concatenate([stream[0], pad], axis=-1),
+              jnp.concatenate([stream[1], pad], axis=-1))
+    safe = jnp.where(valid, starts, 0)
+
+    def hdr_one(s):
+        lts, syms = rx_model.extract_symbols_p(padded, s, 0)
+        h_inv = rx_model.channel_estimate_p(lts)
+        data = rx_model.equalize_and_track_p(syms, h_inv)
+        sig = (data[0][..., 0, :], data[1][..., 0, :])
+        return ppdu_model.decode_header_p(sig)
+
+    rate_field, hdr_length, header_ok = jax.vmap(hdr_one)(safe)
+    return {
+        "starts": starts,
+        "valid": valid,
+        "rate_field": rate_field,
+        "hdr_length": hdr_length,
+        "header_ok": header_ok & valid,
+    }
+
+
+def receive_capture_dynamic_p(stream: CArr, rate: Rate, max_length: int,
+                              max_frames: int,
+                              params: ChainParams = DEFAULT_PARAMS):
+    """Detect and decode frames with per-frame lengths from their headers.
+
+    Like receive_capture_p but only the *rate* is static configuration;
+    each frame's payload length is read from its SIGNAL field at runtime
+    (frames at other rates report their header info with crc_ok=False).
+    The stream is zero-padded by one max-frame extent so frames near the
+    capture end decode from static-shape slices without clamping skew.
+
+    Returns dict of per-slot arrays: starts, valid, payload
+    (max_frames, max_length), hdr_length, rate_field, crc_ok, header_ok.
+    """
+    n = stream[0].shape[-1]
+    frame_len_max = params_for(rate).frame_samples(max_length)
+    starts, valid = detect_frames_p(stream, max_frames, params)
+    pad = jnp.zeros(stream[0].shape[:-1] + (frame_len_max,),
+                    stream[0].dtype)
+    padded = (jnp.concatenate([stream[0], pad], axis=-1),
+              jnp.concatenate([stream[1], pad], axis=-1))
+    safe_start = jnp.where(valid, starts, 0)
+    out = jax.vmap(
+        lambda s: rx_model.decode_frame_dynamic_p(
+            padded, rate, max_length, start=s)
+    )(safe_start)
+    # a frame truncated by the capture end reads zero padding and fails
+    # CRC naturally, exactly like the reference fed a truncated stream
+    ok = valid
+    return {
+        "starts": starts,
+        "valid": ok,
+        "payload": out["payload"],
+        "hdr_length": out["hdr_length"],
+        "rate_field": out["rate_field"],
         "crc_ok": out["crc_ok"] & ok,
         "header_ok": out["header_ok"] & ok,
     }

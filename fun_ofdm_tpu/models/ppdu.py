@@ -184,3 +184,65 @@ def decode_data_p(samples, rate: Rate, length: int):
 def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
     """Complex wrapper of decode_data_p (host/tests)."""
     return decode_data_p((jnp.real(samples), jnp.imag(samples)), rate, length)
+
+
+def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int):
+    """Decode frames of traced per-frame byte lengths (static rate).
+
+    samples: planar (re, im) of (..., max_nsym*48) equalized data samples,
+    where max_nsym = num_symbols(max_length); samples past a frame's real
+    extent are arbitrary garbage. lengths: (...,) traced payload byte
+    counts (from the decoded SIGNAL header).
+
+    Works because every per-position transform in the chain (demap,
+    48-chunk interleaver, puncture pattern, scrambler keystream) is
+    position-uniform, so a shorter frame occupies an exact prefix of the
+    static buffers; the Viterbi masks trellis steps past each frame's end
+    (zero decisions = reference tail semantics) and the CRC right-aligns.
+
+    Returns (payload (..., max_length) int32 - first `lengths` bytes valid,
+    crc_ok (...,) bool, service (...,) int32).
+    (reference: src/ppdu.cpp:223-295 - where rate/length are runtime values)
+    """
+    rp = params_for(rate)
+    n_bits_max = rp.num_data_bits(max_length)
+    n_bytes_max = rp.num_data_bytes(max_length)
+
+    lengths = jnp.asarray(lengths, jnp.int32)
+    in_range = (lengths >= 1) & (lengths <= max_length)
+    lengths_c = jnp.clip(lengths, 1, max_length)
+    frame_bits = 16 + 8 * (lengths_c + CRC_BYTES) + TAIL_BITS
+    nsym = (frame_bits + rp.dbps - 1) // rp.dbps
+    nbits = nsym * rp.dbps  # per-frame data bits incl in-buffer tail
+
+    soft = qam.demodulate_p(samples, rate)
+    deinter = interleave.deinterleave(soft)
+    depunct = puncture.depuncture(deinter, rate)
+    decoded_bits = viterbi.viterbi_decode(
+        depunct, n_bits_max - TAIL_BITS, nbits_dynamic=nbits - TAIL_BITS)
+    pad = (-decoded_bits.shape[-1]) % 8
+    if pad:
+        decoded_bits = jnp.concatenate(
+            [decoded_bits,
+             jnp.zeros(decoded_bits.shape[:-1] + (pad,), jnp.int32)], axis=-1)
+    decoded = bits_to_bytes(decoded_bits)
+    descrambled = scramble.descramble_bytes(decoded[..., :n_bytes_max])
+
+    service = (descrambled[..., 0].astype(jnp.int32)
+               | (descrambled[..., 1].astype(jnp.int32) << 8))
+    payload = descrambled[..., SERVICE_BYTES:SERVICE_BYTES + max_length]
+
+    # given CRC: 4 bytes at dynamic offset 2 + length
+    off = (SERVICE_BYTES + lengths_c)[..., None] + jnp.arange(4)
+    flat = descrambled.reshape(-1, descrambled.shape[-1])
+    given_b = jnp.take_along_axis(
+        flat, jnp.clip(off.reshape(flat.shape[0], 4), 0, flat.shape[-1] - 1),
+        axis=-1).reshape(lengths_c.shape + (4,))
+    given = (given_b[..., 0].astype(jnp.uint32)
+             | (given_b[..., 1].astype(jnp.uint32) << 8)
+             | (given_b[..., 2].astype(jnp.uint32) << 16)
+             | (given_b[..., 3].astype(jnp.uint32) << 24))
+    calc = crc32.crc32_dynamic(
+        descrambled[..., :SERVICE_BYTES + max_length],
+        SERVICE_BYTES + lengths_c)
+    return payload, (given == calc) & in_range, service

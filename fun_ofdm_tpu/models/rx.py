@@ -184,6 +184,55 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
     }
 
 
+def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
+                           start=0, cfo_correct: bool = False):
+    """Header-driven frame decode: payload length comes from the SIGNAL
+    field at runtime (the reference receiver's contract - it knows nothing
+    about a frame before decoding its header, src/frame_decoder.cpp:72-88).
+
+    samples must cover max_length-frame extents from `start` (pad the
+    stream); rate is static - a frame whose decoded header carries a
+    different rate field (or an out-of-range length) gets crc_ok=False and
+    its header fields reported, mirroring the reference's skip-and-report.
+
+    Returns dict with payload (..., max_length) (first hdr_length bytes
+    valid), crc_ok, header_ok, rate_field, hdr_length, service,
+    rate_match.
+    """
+    rp = params_for(rate)
+    nsym_max = rp.num_symbols(max_length)
+    start = jnp.broadcast_to(jnp.asarray(start, jnp.int32),
+                             samples[0].shape[:-1])
+    lts, syms = extract_symbols_p(samples, start, nsym_max)
+    if cfo_correct:
+        w = estimate_cfo_p(lts)
+        lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
+        sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
+                   + 80 * np.arange(1 + nsym_max)[:, None]
+                   + np.arange(64)[None, :])
+        lts = _derotate_p(lts, w, lts_idx)
+        syms = _derotate_p(syms, w, sym_idx)
+    h_inv = channel_estimate_p(lts)
+    data = equalize_and_track_p(syms, h_inv)
+
+    sig = (data[0][..., 0, :], data[1][..., 0, :])
+    rate_field, hdr_length, header_ok = ppdu.decode_header_p(sig)
+    rate_match = rate_field == rp.rate_field
+    rest = (data[0][..., 1:, :].reshape(*data[0].shape[:-2], -1),
+            data[1][..., 1:, :].reshape(*data[1].shape[:-2], -1))
+    payload, crc_ok, service = ppdu.decode_data_dynamic_p(
+        rest, rate, hdr_length, max_length)
+    return {
+        "payload": payload,
+        "crc_ok": crc_ok & header_ok & rate_match,
+        "header_ok": header_ok,
+        "rate_field": rate_field,
+        "hdr_length": hdr_length,
+        "service": service,
+        "rate_match": rate_match,
+    }
+
+
 def decode_frame(samples: jnp.ndarray, rate: Rate, length: int, start=0,
                  cfo_correct: bool = False):
     """Complex wrapper of decode_frame_p (host/tests)."""

@@ -157,6 +157,55 @@ def crc32(data: jnp.ndarray) -> jnp.ndarray:
     return state ^ jnp.uint32(init_contrib) ^ jnp.uint32(0xFFFFFFFF)
 
 
+@functools.lru_cache(maxsize=None)
+def _init_contrib_table(n_max: int) -> np.ndarray:
+    """(n_max+1,) uint32: L^(8n)(0xFFFFFFFF) for n = 0..n_max."""
+    t = _byte_table()
+    out = np.zeros(n_max + 1, np.uint32)
+    cur = np.uint32(0xFFFFFFFF)
+    out[0] = cur
+    for n in range(1, n_max + 1):
+        cur = np.uint32(t[cur & np.uint32(0xFF)] ^ (cur >> np.uint32(8)))
+        out[n] = cur
+    return out
+
+
+def crc32_dynamic(data: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """CRC-32 of the first n_valid bytes of each row.
+
+    data: (..., n_max) int bytes; n_valid: (...,) traced lengths <= n_max.
+    Right-aligns each message into the static buffer (leading zero bytes
+    from a zero state stay at zero state, so the same (8*n_max, 32) bit
+    matrix applies) and folds in the length-dependent init contribution
+    from a precomputed table.
+    """
+    data = jnp.asarray(data, jnp.int32)
+    n_max = data.shape[-1]
+    n_valid = jnp.broadcast_to(jnp.asarray(n_valid, jnp.int32),
+                               data.shape[:-1])
+
+    # right-align: out[..., p] = data[..., p - (n_max - n_valid)] or 0
+    idx = jnp.arange(n_max, dtype=jnp.int32)
+    src = idx[None] - (n_max - n_valid)[..., None]
+    shifted = jnp.take_along_axis(
+        data.reshape(-1, n_max), jnp.clip(src.reshape(-1, n_max), 0, n_max - 1),
+        axis=-1).reshape(data.shape)
+    shifted = jnp.where(src >= 0, shifted, 0)
+
+    bits = jnp.stack([(shifted >> i) & 1 for i in range(8)], axis=-1)
+    bits = bits.reshape(data.shape[:-1] + (8 * n_max,)).astype(jnp.float32)
+    w = jnp.asarray(_bit_matrix(n_max))
+    state_bits = jnp.mod(
+        jnp.dot(bits, w, preferred_element_type=jnp.float32), 2.0
+    ).astype(jnp.uint32)
+    weights = jnp.asarray(
+        np.array([1 << k for k in range(32)], dtype=np.uint32))
+    state = jnp.sum(state_bits * weights, axis=-1, dtype=jnp.uint32)
+
+    init_tbl = jnp.asarray(_init_contrib_table(n_max))
+    return state ^ init_tbl[n_valid] ^ jnp.uint32(0xFFFFFFFF)
+
+
 def crc32_scan(data: jnp.ndarray) -> jnp.ndarray:
     """Batched CRC-32 as a block scan (portable baseline; same contract)."""
     data = jnp.asarray(data)

@@ -122,41 +122,70 @@ PALLAS_MIN_NBITS = 64
 
 
 def viterbi_decode(soft: jnp.ndarray, nbits: int,
-                   impl: str | None = None) -> jnp.ndarray:
+                   impl: str | None = None,
+                   nbits_dynamic: jnp.ndarray | None = None) -> jnp.ndarray:
     """Decode soft symbols to bits (dispatches to the best backend impl).
 
     soft:  (..., 2*(nbits+6)) int32 soft coded bits (0..255; >=128 leans 1).
-    nbits: number of data bits to output (static).
+    nbits: number of data bits to output (static upper bound).
     impl:  'scan' | 'pallas' | None (auto: Pallas kernel on TPU for
            non-trivial trellises, lax.scan otherwise). Both are bit-exact.
+    nbits_dynamic: optional traced (...,) per-element data-bit counts
+           <= nbits. Trellis steps past an element's count produce zero
+           decisions, so the chainback stays in state 0 until the element's
+           real trellis end - exactly the reference semantics for a frame
+           of that length (viterbi.cpp:193-194). Output bits past an
+           element's count are unspecified.
     Returns (..., nbits) int32 decoded bits.
     """
     impl = impl or default_impl()
     if impl == "pallas" and nbits >= PALLAS_MIN_NBITS:
         from . import viterbi_pallas
 
-        return viterbi_pallas.viterbi_decode_pallas(soft, nbits)
-    return viterbi_decode_scan(soft, nbits)
+        return viterbi_pallas.viterbi_decode_pallas(
+            soft, nbits, nbits_dynamic=nbits_dynamic)
+    return viterbi_decode_scan(soft, nbits, nbits_dynamic=nbits_dynamic)
 
 
-def viterbi_decode_scan(soft: jnp.ndarray, nbits: int) -> jnp.ndarray:
+def viterbi_decode_scan(soft: jnp.ndarray, nbits: int,
+                        nbits_dynamic: jnp.ndarray | None = None
+                        ) -> jnp.ndarray:
     """lax.scan trellis (exact, portable baseline impl)."""
     soft = jnp.asarray(soft, jnp.int32)
     total_steps = nbits + (K - 1)
     steps = (total_steps // 2) * 2  # reference drops a trailing odd step
     batch_shape = soft.shape[:-1]
 
-    pairs = soft[..., : 2 * steps].reshape(*batch_shape, steps, 2)
-    pairs = jnp.moveaxis(pairs, -2, 0)  # (steps, ..., 2)
-
     metrics0 = jnp.full(batch_shape + (NUMSTATES,), 63, jnp.int32)
     metrics0 = metrics0.at[..., 0].set(0)
 
-    def fwd(metrics, pair):
-        new, dec = _acs_step(metrics, pair[..., 0], pair[..., 1])
-        return new, dec
+    if nbits_dynamic is None:
+        pairs = soft[..., : 2 * steps].reshape(*batch_shape, steps, 2)
+        pairs = jnp.moveaxis(pairs, -2, 0)  # (steps, ..., 2)
 
-    _, decisions = jax.lax.scan(fwd, metrics0, pairs)  # (steps, ..., 64)
+        def fwd(metrics, pair):
+            new, dec = _acs_step(metrics, pair[..., 0], pair[..., 1])
+            return new, dec
+
+        _, decisions = jax.lax.scan(fwd, metrics0, pairs)  # (steps, ..., 64)
+    else:
+        # per-element even-truncated step counts; masked steps leave the
+        # metrics untouched and record zero decisions
+        nb = jnp.broadcast_to(jnp.asarray(nbits_dynamic, jnp.int32),
+                              batch_shape)
+        steps_vec = ((nb + (K - 1)) // 2) * 2
+        pairs = soft[..., : 2 * steps].reshape(*batch_shape, steps, 2)
+        pairs = jnp.moveaxis(pairs, -2, 0)
+        t_idx = jnp.arange(steps, dtype=jnp.int32)
+
+        def fwd(metrics, xs):
+            t, pair = xs
+            new, dec = _acs_step(metrics, pair[..., 0], pair[..., 1])
+            live = (t < steps_vec)[..., None]
+            return (jnp.where(live, new, metrics),
+                    jnp.where(live, dec, 0))
+
+        _, decisions = jax.lax.scan(fwd, metrics0, (t_idx, pairs))
 
     # decisions for steps in [steps, total_steps) were never computed;
     # the reference leaves them zeroed (viterbi.cpp:193-194)

@@ -52,7 +52,7 @@ def _branch_cols() -> np.ndarray:
 def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
     """Forward ACS over one (batch_tile, time_chunk) block.
 
-    steps_ref: SMEM (1,) int32 - number of real trellis steps (even).
+    steps_ref: VMEM (1, B) int32 - per-lane trellis step counts (even).
     bt_ref: VMEM (64, 1) int32 branch table [e0 x32; e1 x32].
     s0_ref/s1_ref: VMEM (TIME_CHUNK, B) int32 soft symbol pairs.
     dec_ref: VMEM out (TIME_CHUNK, 64, B) int8 decision bits.
@@ -68,7 +68,7 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
     e = bt_ref[:]                            # (64, 1): e0 rows then e1 rows
     e0 = e[:32]                              # (32, 1)
     e1 = e[32:]
-    steps = steps_ref[0]
+    steps = steps_ref[0, :][None, :]         # (1, B)
     base = t_chunk * TIME_CHUNK
 
     def body(i, _):
@@ -99,9 +99,9 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
         need = new[0:1, :] > 210
         new = jnp.where(need, new - jnp.min(new, axis=0, keepdims=True), new)
 
-        live = (base + i) < steps            # steps beyond the trellis are
-        dec_ref[i] = jnp.where(live, dec, 0)  # zero-filled (viterbi.cpp:193)
-        metrics_ref[:] = jnp.where(live, new, m)
+        live = (base + i) < steps            # (1, B); steps beyond a lane's
+        dec_ref[i] = jnp.where(live, dec, 0)  # trellis are zero-filled
+        metrics_ref[:] = jnp.where(live, new, m)  # (viterbi.cpp:193)
         return 0
 
     jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
@@ -136,12 +136,13 @@ def _cdiv(a: int, b: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
-def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, nbits: int,
-                  interpret: bool = False) -> jnp.ndarray:
-    """Decode (B, T_pad) soft pairs -> (B, nbits) bits. B, T_pad pre-padded."""
+def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
+                  nbits: int, interpret: bool = False) -> jnp.ndarray:
+    """Decode (B, T_pad) soft pairs -> (B, nbits) bits. B, T_pad pre-padded.
+
+    steps_vec: (B,) int32 per-frame even trellis-step counts.
+    """
     bsz, t_pad = s0.shape
-    total_steps = nbits + (K - 1)
-    steps = (total_steps // 2) * 2  # reference drops a trailing odd step
     n_bt = bsz // BATCH_TILE
     n_tc = t_pad // TIME_CHUNK
 
@@ -152,7 +153,8 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, nbits: int,
         _acs_kernel,
         grid=(n_bt, n_tc),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BATCH_TILE), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((NUMSTATES, 1), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TIME_CHUNK, BATCH_TILE), lambda b, t: (t, b),
@@ -166,7 +168,7 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, nbits: int,
         out_shape=jax.ShapeDtypeStruct((t_pad, NUMSTATES, bsz), jnp.int8),
         scratch_shapes=[pltpu.VMEM((NUMSTATES, BATCH_TILE), jnp.int32)],
         interpret=interpret,
-    )(jnp.array([steps], jnp.int32), jnp.asarray(_branch_cols()), s0, s1)
+    )(steps_vec[None, :], jnp.asarray(_branch_cols()), s0, s1)
 
     ks = pl.pallas_call(
         _chainback_kernel,
@@ -189,8 +191,9 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, nbits: int,
     return ks[K - 1: K - 1 + nbits, :].T  # (B, nbits)
 
 
-def _viterbi_decode_impl(soft: jnp.ndarray, nbits: int,
-                         interpret: bool = False) -> jnp.ndarray:
+def _viterbi_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
+                         nbits: int, interpret: bool = False) -> jnp.ndarray:
+    """soft (..., 2*(nbits+6)), steps_vec (...,) -> bits (..., nbits)."""
     soft = jnp.asarray(soft, jnp.int32)
     batch_shape = soft.shape[:-1]
     total_steps = nbits + (K - 1)
@@ -205,7 +208,10 @@ def _viterbi_decode_impl(soft: jnp.ndarray, nbits: int,
     s0 = pairs[:, 0::2]
     s1 = pairs[:, 1::2]
 
-    bits = _decode_tiles(s0, s1, nbits, interpret=interpret)
+    sv = jnp.zeros((b_pad,), jnp.int32)
+    sv = sv.at[:bsz].set(steps_vec.reshape(-1))
+
+    bits = _decode_tiles(s0, s1, sv, nbits, interpret=interpret)
     return bits[:bsz].reshape(*batch_shape, nbits)
 
 
@@ -220,23 +226,39 @@ def _decoder(nbits: int, interpret: bool):
     with mostly-empty 128-lane tiles).
     """
     @jax.custom_batching.custom_vmap
-    def f(soft):
-        return _viterbi_decode_impl(soft, nbits, interpret)
+    def f(soft, steps_vec):
+        return _viterbi_decode_impl(soft, steps_vec, nbits, interpret)
 
     @f.def_vmap
-    def _rule(axis_size, in_batched, soft):
-        (sb,) = in_batched
-        return f(soft), sb
+    def _rule(axis_size, in_batched, soft, steps_vec):
+        sb, vb = in_batched
+        if not sb:
+            soft = jnp.broadcast_to(soft[None], (axis_size,) + soft.shape)
+        if not vb:
+            steps_vec = jnp.broadcast_to(
+                steps_vec[None], (axis_size,) + steps_vec.shape)
+        return f(soft, steps_vec), True
 
     return f
 
 
 def viterbi_decode_pallas(soft: jnp.ndarray, nbits: int,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          nbits_dynamic: jnp.ndarray | None = None
+                          ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.viterbi.viterbi_decode.
 
     soft:  (..., 2*(nbits+6)) int soft coded bits (0..255; >=128 leans 1).
-    nbits: number of data bits to output (static).
+    nbits: number of data bits to output (static upper bound).
+    nbits_dynamic: optional traced (...,) per-element bit counts <= nbits
+           (see ops.viterbi.viterbi_decode).
     Returns (..., nbits) int32 decoded bits, bit-exact with the scan path.
     """
-    return _decoder(nbits, interpret)(jnp.asarray(soft, jnp.int32))
+    soft = jnp.asarray(soft, jnp.int32)
+    if nbits_dynamic is None:
+        nb = jnp.full(soft.shape[:-1], nbits, jnp.int32)
+    else:
+        nb = jnp.broadcast_to(jnp.asarray(nbits_dynamic, jnp.int32),
+                              soft.shape[:-1])
+    steps_vec = ((nb + (K - 1)) // 2) * 2
+    return _decoder(nbits, interpret)(soft, steps_vec)
