@@ -10,5 +10,19 @@ impairment simulation and multi-chip sharding the reference never had.
 """
 
 from .rates import Rate, RateParams, params_for, from_rate_field  # noqa: F401
+from .config import ChainParams, DEFAULT_PARAMS  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level facades (importing them eagerly would pull in jax
+    # before host code gets a chance to configure devices/platforms).
+    if name in ("Transmitter", "Receiver"):
+        from . import api
+        return getattr(api, name)
+    if name in ("ReceiverChain", "DecodedPacket", "LoopbackRadio",
+                "RadioParams", "FileSource", "FileSink"):
+        from . import runtime
+        return getattr(runtime, name)
+    raise AttributeError(name)

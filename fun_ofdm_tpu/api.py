@@ -1,0 +1,140 @@
+"""Top-level API: Transmitter and Receiver facades.
+
+The public surface of the framework, mirroring the reference's two
+exported classes (src/transmitter.h:49-73, src/receiver.h:58-83) with the
+same ergonomics — `Transmitter.send_frame(payload, rate)` and
+`Receiver(callback)` with `pause()`/`resume()` — over the TPU-native
+stack: jitted batched frame building (models/tx), the streaming
+ReceiverChain runtime (runtime/chain), and pluggable sample I/O backends
+(runtime/io) in place of the USRP.
+
+TPU-native extension beyond the reference: `send_burst(payloads, rate)`
+builds a whole batch of frames in one device call (the MXU-efficient
+path — per-frame calls exist for parity, batched calls for throughput).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .config import ChainParams, DEFAULT_PARAMS
+from .rates import ALL_RATES, Rate
+from .runtime.chain import DecodedPacket, ReceiverChain
+from .runtime.io import LoopbackRadio, RadioParams
+
+
+class Transmitter:
+    """Builds 802.11a frames and sends them to a sample sink.
+
+    Reference equivalent: transmitter (src/transmitter.cpp:15-37) —
+    build_frame + send_burst_sync composition. The sink is any object with
+    `send_burst(samples)` (LoopbackRadio, FileSink, or user code).
+    """
+
+    def __init__(self, sink=None, params: RadioParams = RadioParams()):
+        self.sink = sink if sink is not None else LoopbackRadio(params)
+        self.params = params
+
+    def send_frame(self, payload, rate: Rate = Rate.RATE_1_2_BPSK) -> int:
+        """Build one frame and send it; returns the sample count sent
+        (reference: src/transmitter.cpp:33-37)."""
+        import jax.numpy as jnp
+        from .models import tx
+
+        data = np.frombuffer(bytes(payload), dtype=np.uint8)
+        re, im = tx.build_frame_p_jit(Rate(rate))(jnp.asarray(data))
+        self.sink.send_burst((np.asarray(re), np.asarray(im)))
+        return int(re.shape[-1])
+
+    def send_burst(self, payloads: Sequence, rate: Rate) -> int:
+        """Build equal-length frames in one batched device call and send
+        them back-to-back (TPU-native batch path). Returns samples sent."""
+        import jax.numpy as jnp
+        from .models import tx
+
+        mats = [np.frombuffer(bytes(p), dtype=np.uint8) for p in payloads]
+        if len({m.size for m in mats}) != 1:
+            raise ValueError("send_burst requires equal-length payloads")
+        batch = np.stack(mats)
+        re, im = tx.build_frame_p_jit(Rate(rate))(jnp.asarray(batch))
+        re = np.asarray(re).reshape(-1)
+        im = np.asarray(im).reshape(-1)
+        self.sink.send_burst((re, im))
+        return int(re.size)
+
+
+class Receiver:
+    """Continuously pulls sample chunks from a source, runs the streaming
+    receiver chain, and delivers CRC-valid packets to a callback.
+
+    Reference equivalent: receiver (src/receiver.cpp:16-77) — spawns its
+    own RX thread running get_samples → process_samples → callback, with
+    semaphore pause/resume. Here the thread is std-library, the chain is
+    the jitted ReceiverChain, and the source is any object with
+    `get_samples(n) -> (re, im)` (LoopbackRadio, FileSource, user code).
+
+    callback: fn(list[DecodedPacket]) — called from the RX thread with
+    every batch of packets a chunk completes (reference callback contract,
+    src/receiver.h:58: vector of payloads per processed chunk).
+    """
+
+    def __init__(self, callback: Callable[[list], None],
+                 source=None,
+                 params: RadioParams = RadioParams(),
+                 chain_params: ChainParams = DEFAULT_PARAMS,
+                 rates: tuple[Rate, ...] = ALL_RATES,
+                 max_length: int = 1500,
+                 cfo_correct: bool = False,
+                 start: bool = True):
+        self.callback = callback
+        self.source = source if source is not None else LoopbackRadio(params)
+        self.chain = ReceiverChain(rates=rates, max_length=max_length,
+                                   params=chain_params,
+                                   cfo_correct=cfo_correct)
+        self._chunk = chain_params.chunk_size
+        self._running = threading.Event()   # set = not paused
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._running.set()
+        if start:
+            self.start()
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(
+            target=self._rx_loop, name="fun_ofdm_rx", daemon=True)
+        self._thread.start()
+
+    def _rx_loop(self) -> None:
+        # reference receiver_chain_loop (src/receiver.cpp:42-58)
+        while not self._stop.is_set():
+            self._running.wait()        # sem_wait(m_pause) equivalent
+            if self._stop.is_set():
+                break
+            re, im = self.source.get_samples(self._chunk)
+            packets = self.chain.process_samples((re, im))
+            if packets:
+                self.callback(packets)
+
+    def pause(self) -> None:
+        """Pause the receiver chain (reference: src/receiver.cpp:64-70)."""
+        self._running.clear()
+
+    def resume(self) -> None:
+        """Resume the receiver chain (reference: src/receiver.cpp:72-77)."""
+        self._running.set()
+
+    def stop(self, timeout: float = 10.0) -> None:
+        """Stop the RX thread and drain buffered samples to the callback."""
+        self._stop.set()
+        self._running.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None
+        packets = self.chain.flush()
+        if packets:
+            self.callback(packets)

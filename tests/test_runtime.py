@@ -1,0 +1,182 @@
+"""Streaming runtime tests: native transport, chunked chain, API facades.
+
+Covers the layers above the capture pipeline — the native ring/chunker
+(csrc/stream_runtime.cpp), the stateful ReceiverChain (arbitrary chunk
+sizes, frames straddling chunk boundaries, mixed rates, exactly-once
+delivery: the reference receiver_chain contract,
+src/receiver_chain.cpp:106-126), and the Transmitter/Receiver facades with
+pause/resume (src/receiver.cpp:42-77).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401  (forces CPU backend before jax import)
+import jax.numpy as jnp
+
+from fun_ofdm_tpu.api import Receiver, Transmitter
+from fun_ofdm_tpu.config import ChainParams
+from fun_ofdm_tpu.models import tx
+from fun_ofdm_tpu.rates import Rate
+from fun_ofdm_tpu.runtime.chain import ReceiverChain
+from fun_ofdm_tpu.runtime.io import FileSink, FileSource, LoopbackRadio
+from fun_ofdm_tpu.runtime.native import Chunker, SampleRing
+
+
+# ------------------------------------------------------------- native ----
+
+def test_ring_push_pop_wrap():
+    r = SampleRing(128)
+    x = (np.arange(100, dtype=np.float32)
+         + 1j * np.arange(100, dtype=np.float32))
+    assert r.push(x) == 100
+    re, im = r.pop(60)
+    assert np.array_equal(re, np.arange(60, dtype=np.float32))
+    assert np.array_equal(im, np.arange(60, dtype=np.float32))
+    # wrap around the 128-capacity boundary
+    assert r.push(np.arange(80, dtype=np.float32).astype(np.complex64)) == 80
+    re, _ = r.pop(120)
+    assert np.array_equal(re[:40], np.arange(60, 100, dtype=np.float32))
+    assert np.array_equal(re[40:], np.arange(80, dtype=np.float32))
+
+
+def test_ring_close_drains():
+    r = SampleRing(64)
+    r.push(np.ones(10, np.float32))
+    r.close()
+    re, _ = r.pop(64)
+    assert re.size == 10
+    re, _ = r.pop(64)
+    assert re.size == 0
+
+
+def test_ring_blocking_pop_unblocked_by_push():
+    r = SampleRing(1 << 12)
+    got = []
+
+    def consumer():
+        re, _ = r.pop(100, blocking=True)
+        got.append(re)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    time.sleep(0.05)
+    r.push(np.arange(100, dtype=np.float32).astype(np.complex64))
+    t.join(timeout=5)
+    assert not t.is_alive() and np.array_equal(got[0], np.arange(100))
+
+
+def test_chunker_overlap_save_positions():
+    c = Chunker(stride=32, window=48)
+    c.push(np.arange(100, dtype=np.float32))
+    re1, _, p1 = c.pop()
+    assert p1 == 0 and re1[0] == 0 and re1[47] == 47
+    re2, _, p2 = c.pop()
+    assert p2 == 32 and re2[0] == 32 and re2[47] == 79
+    assert c.pop() is None  # 36 pending < window
+    re3, _, p3 = c.pop(pad=True)
+    assert p3 == 64 and re3[35] == 99 and re3[36] == 0
+
+
+# -------------------------------------------------------------- chain ----
+
+@pytest.mark.parametrize("chunks", [[20000], [1000, 3000, 123, 8000, 5000, 2877]])
+def test_chain_mixed_rates_and_boundaries(chunks):
+    rng = np.random.default_rng(0)
+    p1 = rng.integers(0, 256, 100, dtype=np.uint8)
+    p2 = rng.integers(0, 256, 57, dtype=np.uint8)
+    f1 = np.asarray(tx.build_frame(jnp.asarray(p1), Rate.RATE_3_4_QAM16))
+    f2 = np.asarray(tx.build_frame(jnp.asarray(p2), Rate.RATE_1_2_BPSK))
+    stream = np.zeros(20000, np.complex64)
+    stream[500:500 + f1.size] = f1
+    stream[4000:4000 + f2.size] = f2  # straddles the 4096 chunk boundary
+
+    chain = ReceiverChain(max_length=120)
+    pkts, i = [], 0
+    for sz in chunks:
+        pkts += chain.process_samples(stream[i:i + sz])
+        i += sz
+    pkts += chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [
+        (500, p1.tobytes()), (4000, p2.tobytes())]
+    assert pkts[0].rate == Rate.RATE_3_4_QAM16
+    assert pkts[1].rate == Rate.RATE_1_2_BPSK
+
+
+def test_chain_exactly_once_across_many_windows():
+    """Frames at every position relative to the stride are delivered once."""
+    rng = np.random.default_rng(1)
+    payload = rng.integers(0, 256, 40, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload), Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=40,
+                          params=params)
+    # non-overlapping (frame is 1040 samples); 4096 sits exactly on a
+    # stride boundary, 1100 lands just past one
+    starts = [50, 1100, 2248, 4096]
+    n = 8192
+    stream = np.zeros(n, np.complex64)
+    for s in starts:
+        stream[s:s + frame.size] += frame
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert sorted(p.start for p in pkts) == starts
+    assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+def test_chain_rejects_truncated_frame():
+    rng = np.random.default_rng(2)
+    payload = rng.integers(0, 256, 80, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload), Rate.RATE_1_2_QPSK))
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=80)
+    pkts = chain.process_samples(frame[: frame.size // 2]) + chain.flush()
+    assert pkts == []
+
+
+# ---------------------------------------------------------------- api ----
+
+def test_transmitter_receiver_loopback_with_pause_resume():
+    radio = LoopbackRadio()
+    received = []
+    done = threading.Event()
+
+    def callback(packets):
+        received.extend(packets)
+        if len(received) >= 3:
+            done.set()
+
+    rx = Receiver(callback, source=radio, rates=(Rate.RATE_1_2_QPSK,),
+                  max_length=64)
+    txer = Transmitter(radio)
+    msgs = [f"loopback packet {i}".encode().ljust(64, b".") for i in range(3)]
+
+    txer.send_frame(msgs[0], Rate.RATE_1_2_QPSK)
+    rx.pause()
+    txer.send_frame(msgs[1], Rate.RATE_1_2_QPSK)  # queued while paused
+    rx.resume()
+    txer.send_burst([msgs[2]], Rate.RATE_1_2_QPSK)
+    done.wait(timeout=180)
+    rx.stop()
+    assert [p.payload for p in received] == msgs
+
+
+def test_file_sink_source_roundtrip(tmp_path):
+    path = str(tmp_path / "capture.c64")
+    sink = FileSink(path)
+    txer = Transmitter(sink)
+    payload = bytes(range(48))
+    txer.send_frame(payload, Rate.RATE_3_4_QAM16)
+    sink.send_burst(np.zeros(512, np.complex64))
+    sink.close()
+
+    src = FileSource(path)
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=48)
+    pkts = []
+    while not src.exhausted:
+        re, im = src.get_samples(1024)
+        pkts += chain.process_samples((re, im))
+    pkts += chain.flush()
+    src.close()
+    assert len(pkts) == 1 and pkts[0].payload == payload
