@@ -23,6 +23,8 @@ owned [0, stride) region contains its preamble start.
 from __future__ import annotations
 
 import functools
+import sys
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -53,6 +55,27 @@ class DecodedPacket:
         return self.payload
 
 
+@dataclass
+class ChainStats:
+    """Running counters for chain observability (the reference's only
+    telemetry is stderr prints, src/ppdu.cpp:276; these are the structured
+    equivalent)."""
+
+    samples_in: int = 0
+    windows: int = 0
+    headers_ok: int = 0
+    crc_ok: int = 0
+    crc_fail: int = 0
+    unknown_rate: int = 0
+    #: wall-clock split of the two device passes (the analogue of the
+    #: reference's per-block work() timing, src/receiver_chain.cpp:84-92)
+    time_headers_s: float = 0.0
+    time_decode_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
 class ReceiverChain:
     """Stateful streaming receiver (reference receiver_chain equivalent).
 
@@ -65,6 +88,8 @@ class ReceiverChain:
       params: chain thresholds + chunk size (ChainParams).
       cfo_correct: enable the native-mode CFO estimation/correction
         (the reference's is dead code; see models/rx.estimate_cfo_p).
+      verbose: print "Invalid CRC (length N)" to stderr on CRC failures,
+        matching the reference's only runtime diagnostic (src/ppdu.cpp:276).
 
     process_samples() accepts any-length complex or planar chunks, exactly
     like receiver_chain::process_samples (src/receiver_chain.cpp:106).
@@ -73,7 +98,8 @@ class ReceiverChain:
     def __init__(self, rates: tuple[Rate, ...] = ALL_RATES,
                  max_length: int = 1500,
                  params: ChainParams = DEFAULT_PARAMS,
-                 cfo_correct: bool = False):
+                 cfo_correct: bool = False,
+                 verbose: bool = False):
         if max_length > MAX_FRAME_SIZE:
             raise ValueError(f"max_length > MAX_FRAME_SIZE ({MAX_FRAME_SIZE})")
         self.rates = tuple(Rate(r) for r in rates)
@@ -84,9 +110,11 @@ class ReceiverChain:
         halo = max(params_for(r).frame_samples(max_length)
                    for r in self.rates)
         self.window = self.stride + max(halo, DETECT_LEAD)
+        self.verbose = bool(verbose)
         self._chunker = native.Chunker(self.stride, self.window)
         self._valid_fields = {params_for(r).rate_field: r for r in self.rates}
         self._jit_cache: dict = {}
+        self.stats = ChainStats()
 
     # --- jitted device functions (built lazily, cached per chain) --------
 
@@ -125,6 +153,8 @@ class ReceiverChain:
         samples: 1-D complex array, or planar (re, im) float arrays.
         """
         self._chunker.push(samples)
+        self.stats.samples_in += (samples[0].size if isinstance(samples, tuple)
+                                  else np.asarray(samples).size)
         packets: list[DecodedPacket] = []
         while self._chunker.ready():
             packets.extend(self._process_window(self._chunker.pop()))
@@ -143,35 +173,49 @@ class ReceiverChain:
         import jax.numpy as jnp
 
         w_re, w_im, gpos = window
+        self.stats.windows += 1
         detect = (jnp.asarray(w_re[: self.stride + DETECT_LEAD]),
                   jnp.asarray(w_im[: self.stride + DETECT_LEAD]))
+        t0 = time.perf_counter()
         hdr = self._headers_fn()(detect)
         starts = np.asarray(hdr["starts"])
+        self.stats.time_headers_s += time.perf_counter() - t0
         owned = (np.asarray(hdr["header_ok"])
                  & (starts >= 0) & (starts < self.stride))
         if not owned.any():
             return []
+        self.stats.headers_ok += int(owned.sum())
 
         stream_dev = (jnp.asarray(w_re), jnp.asarray(w_im))
         fields = np.asarray(hdr["rate_field"])
         lengths = np.asarray(hdr["hdr_length"])
         packets: list[DecodedPacket] = []
-        for field in np.unique(fields[owned]):
-            rate = self._valid_fields.get(int(field))
+        for field_val in np.unique(fields[owned]):
+            rate = self._valid_fields.get(int(field_val))
             if rate is None:  # valid-parity header at an unconfigured rate
+                self.stats.unknown_rate += int(
+                    (owned & (fields == field_val)).sum())
                 continue
-            sel = owned & (fields == field) & (lengths <= self.max_length)
+            sel = owned & (fields == field_val) & (lengths <= self.max_length)
             if not sel.any():
                 continue
             idx = np.nonzero(sel)[0]
+            t1 = time.perf_counter()
             out = self._decode_fn(rate)(
                 stream_dev, jnp.asarray(starts[idx], jnp.int32))
             crc_ok = np.asarray(out["crc_ok"])
+            self.stats.time_decode_s += time.perf_counter() - t1
             payloads = np.asarray(out["payload"], dtype=np.uint8)
             hdr_len = np.asarray(out["hdr_length"])
             for k in range(idx.size):
                 if not crc_ok[k]:
-                    continue  # reference: drop, keep streaming (ppdu.cpp:274)
+                    # reference: report + drop, keep streaming (ppdu.cpp:274-279)
+                    self.stats.crc_fail += 1
+                    if self.verbose:
+                        print(f"Invalid CRC (length {int(hdr_len[k])})",
+                              file=sys.stderr)
+                    continue
+                self.stats.crc_ok += 1
                 n = int(hdr_len[k])
                 packets.append(DecodedPacket(
                     payload=payloads[k, :n].tobytes(),

@@ -126,6 +126,27 @@ def test_chain_exactly_once_across_many_windows():
     assert all(p.payload == payload.tobytes() for p in pkts)
 
 
+def test_chain_stats_and_invalid_crc_report(capsys):
+    """CRC failures are reported like the reference ("Invalid CRC (length N)",
+    src/ppdu.cpp:276) and counted in chain.stats."""
+    rng = np.random.default_rng(3)
+    p = rng.integers(0, 256, 60, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(p), Rate.RATE_1_2_QPSK))
+    stream = np.zeros(12000, np.complex64)
+    stream[100:100 + frame.size] = frame
+    bad = frame.copy()
+    bad[700:800] = 0  # corrupted copy -> CRC fail
+    stream[5000:5000 + frame.size] = bad
+
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=60,
+                          verbose=True)
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert [x.start for x in pkts] == [100]
+    assert "Invalid CRC (length 60)" in capsys.readouterr().err
+    assert chain.stats.crc_ok == 1 and chain.stats.crc_fail == 1
+    assert chain.stats.samples_in == 12000 and chain.stats.headers_ok == 2
+
+
 def test_chain_rejects_truncated_frame():
     rng = np.random.default_rng(2)
     payload = rng.integers(0, 256, 80, dtype=np.uint8)
