@@ -20,14 +20,23 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_SAMPLES_PER_SEC = 1100 * 7120 / 1.5005  # ~5.22e6
 
+#: repo-local persistent compile cache: the first run pays XLA compile,
+#: every later run (including the driver's) starts in seconds
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+
 
 def main() -> None:
+    from fun_ofdm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(CACHE_DIR)
+
     import jax
     import jax.numpy as jnp
 

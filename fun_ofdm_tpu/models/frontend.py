@@ -85,11 +85,7 @@ def detect_frames_p(stream: CArr, max_frames: int,
     peak = lts_norm > params.lts_corr_threshold
     pair = peak & jnp.concatenate(
         [peak[..., 64:], jnp.zeros(peak.shape[:-1] + (64,), bool)], axis=-1)
-    reach = pair
-    for s in range(1, params.lts_search - 64):
-        shifted = jnp.concatenate(
-            [pair[..., s:], jnp.zeros(pair.shape[:-1] + (s,), bool)], axis=-1)
-        reach = reach | shifted
+    reach = correlate.leading_window_any(pair, params.lts_search - 64)
     ends = ends & reach
 
     end_pos, end_valid = _first_k_true(ends, max_frames)

