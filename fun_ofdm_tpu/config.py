@@ -29,6 +29,9 @@ class ChainParams:
                           receiver.h:16).
       max_frames_per_chunk: detection capacity per processed chunk in the
                           streaming receiver (fixed shapes under jit).
+                          None (default) = auto-size from the chunk length
+                          and the shortest decodable frame, so back-to-back
+                          minimal frames can never exceed the slot count.
     """
 
     plateau_threshold: float = 0.9
@@ -37,7 +40,7 @@ class ChainParams:
     sts_length: int = 16
     lts_search: int = 96
     chunk_size: int = 4096
-    max_frames_per_chunk: int = 4
+    max_frames_per_chunk: int | None = None
 
 
 DEFAULT_PARAMS = ChainParams()

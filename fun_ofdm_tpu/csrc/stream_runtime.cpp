@@ -23,6 +23,7 @@
 // device compute path stays in JAX/XLA/Pallas.
 
 #include <algorithm>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -82,6 +83,12 @@ void ring_close(void *h) {
 
 // Push n planar samples. blocking=1: wait for space (returns n, or the
 // count written before close). blocking=0: write what fits, return count.
+//
+// Blocking pushes reserve capacity for the WHOLE remaining burst (capped at
+// ring capacity) before copying, so a concurrent non-blocking pop can never
+// observe a half-written burst and splice zero-fill into the middle of a
+// frame (bursts larger than the ring degrade to capacity-sized atomic
+// chunks — callers should size the ring above their largest burst).
 size_t ring_push(void *h, const float *sre, const float *sim, size_t n,
                  int blocking) {
   Ring *r = static_cast<Ring *>(h);
@@ -90,11 +97,13 @@ size_t ring_push(void *h, const float *sre, const float *sim, size_t n,
   while (written < n) {
     if (r->closed)
       break;
+    size_t need = std::min(n - written, r->cap);
     size_t space = r->cap - r->count;
-    if (space == 0) {
+    if (blocking ? (space < need) : (space == 0)) {
       if (!blocking)
         break;
-      r->not_full.wait(lk, [&] { return r->cap - r->count > 0 || r->closed; });
+      r->not_full.wait(
+          lk, [&] { return r->cap - r->count >= need || r->closed; });
       continue;
     }
     size_t take = std::min(space, n - written);
@@ -127,6 +136,45 @@ size_t ring_pop(void *h, float *dre, float *dim, size_t n, int blocking) {
       if (r->closed || !blocking)
         break;
       r->not_empty.wait(lk, [&] { return r->count > 0 || r->closed; });
+      continue;
+    }
+    size_t take = std::min(r->count, n - read);
+    size_t first = std::min(take, r->cap - r->head);
+    std::memcpy(dre + read, &r->re[r->head], first * sizeof(float));
+    std::memcpy(dim + read, &r->im[r->head], first * sizeof(float));
+    if (take > first) {
+      std::memcpy(dre + read + first, &r->re[0],
+                  (take - first) * sizeof(float));
+      std::memcpy(dim + read + first, &r->im[0],
+                  (take - first) * sizeof(float));
+    }
+    r->head = (r->head + take) % r->cap;
+    r->count -= take;
+    read += take;
+    r->not_full.notify_all();
+  }
+  return read;
+}
+
+// Pop up to n planar samples, waiting at most timeout_ms for them to
+// arrive (the radio-sample-clock pop: a real receiver blocks on its
+// stream's recv timeout, reference src/usrp.cpp:125-130). Returns the
+// count actually popped — short only on timeout or close.
+size_t ring_pop_timeout(void *h, float *dre, float *dim, size_t n,
+                        double timeout_ms) {
+  Ring *r = static_cast<Ring *>(h);
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+                      std::chrono::duration<double, std::milli>(timeout_ms));
+  size_t read = 0;
+  std::unique_lock<std::mutex> lk(r->mu);
+  while (read < n) {
+    if (r->count == 0) {
+      if (r->closed)
+        break;
+      if (!r->not_empty.wait_until(
+              lk, deadline, [&] { return r->count > 0 || r->closed; }))
+        break; // timed out
       continue;
     }
     size_t take = std::min(r->count, n - read);

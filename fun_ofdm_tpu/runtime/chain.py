@@ -67,6 +67,10 @@ class ChainStats:
     crc_ok: int = 0
     crc_fail: int = 0
     unknown_rate: int = 0
+    #: CRC-valid headers dropped because hdr_length > max_length
+    length_overflow: int = 0
+    #: windows where every detection slot filled (possible missed frames)
+    detect_saturated: int = 0
     #: wall-clock split of the two device passes (the analogue of the
     #: reference's per-block work() timing, src/receiver_chain.cpp:84-92)
     time_headers_s: float = 0.0
@@ -111,6 +115,17 @@ class ReceiverChain:
                    for r in self.rates)
         self.window = self.stride + max(halo, DETECT_LEAD)
         self.verbose = bool(verbose)
+        # Detection capacity: the reference has no cap (its detector tags
+        # every plateau). Auto-size ours so even back-to-back minimal
+        # frames anywhere in the detect region [0, stride + DETECT_LEAD)
+        # cannot exhaust the slots (frames in the lead halo consume slots
+        # before the ownership filter).
+        if params.max_frames_per_chunk is not None:
+            self.max_frames = int(params.max_frames_per_chunk)
+        else:
+            min_frame = min(params_for(r).frame_samples(0)
+                            for r in self.rates)
+            self.max_frames = -(-(self.stride + DETECT_LEAD) // min_frame) + 1
         self._chunker = native.Chunker(self.stride, self.window)
         self._valid_fields = {params_for(r).rate_field: r for r in self.rates}
         self._jit_cache: dict = {}
@@ -126,7 +141,7 @@ class ReceiverChain:
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(functools.partial(
                 frontend.decode_headers_p,
-                max_frames=self.params.max_frames_per_chunk,
+                max_frames=self.max_frames,
                 params=self.params))
         return self._jit_cache[key]
 
@@ -180,6 +195,13 @@ class ReceiverChain:
         hdr = self._headers_fn()(detect)
         starts = np.asarray(hdr["starts"])
         self.stats.time_headers_s += time.perf_counter() - t0
+        if np.asarray(hdr["valid"]).all():
+            # every detection slot filled: frames beyond capacity in this
+            # window were silently missed (reference chain has no cap)
+            self.stats.detect_saturated += 1
+            if self.verbose:
+                print(f"Detection saturated ({self.max_frames} slots)",
+                      file=sys.stderr)
         owned = (np.asarray(hdr["header_ok"])
                  & (starts >= 0) & (starts < self.stride))
         if not owned.any():
@@ -196,6 +218,9 @@ class ReceiverChain:
                 self.stats.unknown_rate += int(
                     (owned & (fields == field_val)).sum())
                 continue
+            over = owned & (fields == field_val) & (lengths > self.max_length)
+            if over.any():  # observable, unlike round 1 (ADVICE low #5)
+                self.stats.length_overflow += int(over.sum())
             sel = owned & (fields == field_val) & (lengths <= self.max_length)
             if not sel.any():
                 continue

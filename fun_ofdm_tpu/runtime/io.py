@@ -53,6 +53,25 @@ class RadioParams:
     device_addr: str = ""
 
 
+@dataclass
+class RadioStats:
+    """Overflow/underflow accounting (the reference surfaces UHD overflow
+    as on-screen 'D's and waits on BURST_ACK, src/usrp.cpp:99-123; these
+    are the structured equivalent)."""
+
+    #: bursts that found the ring full under the drop policy
+    overruns: int = 0
+    #: TX samples discarded by overruns
+    dropped_samples: int = 0
+    #: get_samples calls that ran dry and were noise/zero-filled
+    underruns: int = 0
+    #: RX samples synthesized as idle fill
+    fill_samples: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
 class LoopbackRadio:
     """In-process TX→RX radio bus (native ring buffer transport).
 
@@ -60,20 +79,30 @@ class LoopbackRadio:
       fn(re, im) -> (re, im), e.g. an AWGN/CFO composition built from
       sim/channel.py (jitted JAX or plain numpy both work).
     noise_floor: std-dev of gaussian fill when the bus is idle (0 = zeros).
+    block_on_full: True (default) = send_burst blocks until the whole
+      burst fits (the reference's BURST_ACK wait, src/usrp.cpp:99-114);
+      False = a burst that doesn't fit is dropped whole and counted in
+      stats (a real radio's overflow 'D').
+    pace_idle: emulate the radio sample clock — get_samples waits up to
+      n/sample_rate for samples before synthesizing idle fill, so an idle
+      RX loop blocks instead of busy-spinning the device on zero windows.
     """
 
     def __init__(self, params: RadioParams = RadioParams(),
                  channel: Optional[Callable] = None,
                  noise_floor: float = 0.0,
                  capacity: int = 1 << 22,
-                 pace_idle: bool = False):
+                 pace_idle: bool = True,
+                 block_on_full: bool = True):
         self.params = params
         self._channel = channel
         self._noise_floor = noise_floor
         self._pace_idle = pace_idle
+        self._block_on_full = block_on_full
         self._ring = SampleRing(capacity)
         self._rng = np.random.default_rng(0)
         self._lock = threading.Lock()
+        self.stats = RadioStats()
 
     # --- TX side (reference usrp::send_burst_sync, src/usrp.cpp:91) ------
 
@@ -85,7 +114,18 @@ class LoopbackRadio:
             re, im = self._channel(re, im)
             re = np.ascontiguousarray(re, np.float32)
             im = np.ascontiguousarray(im, np.float32)
-        self._ring.push((re, im))
+        if self._block_on_full:
+            self._ring.push((re, im), blocking=True)
+            return
+        # drop policy: all-or-nothing per burst, so a partial frame never
+        # reaches the air (the native ring reserves whole blocking bursts;
+        # non-blocking we pre-check capacity ourselves)
+        with self._lock:
+            if self._ring.capacity - len(self._ring) < re.size:
+                self.stats.overruns += 1
+                self.stats.dropped_samples += int(re.size)
+                return
+            self._ring.push((re, im), blocking=False)
 
     send_burst_sync = send_burst  # parity alias; loopback push is sync
 
@@ -93,27 +133,27 @@ class LoopbackRadio:
 
     def get_samples(self, n: int):
         """Exactly n planar samples; idle bus yields noise-floor fill."""
-        re, im = self._ring.pop(n, blocking=False)
-        if re.size < n:
-            if self._pace_idle:
-                # emulate the radio's sample clock so idle RX loops don't spin
-                time.sleep((n - re.size) / self.params.sample_rate)
-                re2, im2 = self._ring.pop(n - re.size, blocking=False)
-                re = np.concatenate([re, re2])
-                im = np.concatenate([im, im2])
-            pad = n - re.size
-            if pad:
-                if self._noise_floor > 0.0:
-                    with self._lock:
-                        fre = self._rng.normal(0, self._noise_floor, pad)
-                        fim = self._rng.normal(0, self._noise_floor, pad)
-                    fre = fre.astype(np.float32)
-                    fim = fim.astype(np.float32)
-                else:
-                    fre = np.zeros(pad, np.float32)
-                    fim = np.zeros(pad, np.float32)
-                re = np.concatenate([re, fre])
-                im = np.concatenate([im, fim])
+        if self._pace_idle:
+            # radio sample clock: block up to the time n samples take on
+            # the air before declaring the bus idle
+            re, im = self._ring.pop(n, timeout=n / self.params.sample_rate)
+        else:
+            re, im = self._ring.pop(n, blocking=False)
+        pad = n - re.size
+        if pad:
+            self.stats.underruns += 1
+            self.stats.fill_samples += int(pad)
+            if self._noise_floor > 0.0:
+                with self._lock:
+                    fre = self._rng.normal(0, self._noise_floor, pad)
+                    fim = self._rng.normal(0, self._noise_floor, pad)
+                fre = fre.astype(np.float32)
+                fim = fim.astype(np.float32)
+            else:
+                fre = np.zeros(pad, np.float32)
+                fim = np.zeros(pad, np.float32)
+            re = np.concatenate([re, fre])
+            im = np.concatenate([im, fim])
         return re, im
 
     @property

@@ -75,6 +75,9 @@ def load():
         lib.ring_pop.restype = ctypes.c_size_t
         lib.ring_pop.argtypes = [ctypes.c_void_p, _F32P, _F32P,
                                  ctypes.c_size_t, ctypes.c_int]
+        lib.ring_pop_timeout.restype = ctypes.c_size_t
+        lib.ring_pop_timeout.argtypes = [ctypes.c_void_p, _F32P, _F32P,
+                                         ctypes.c_size_t, ctypes.c_double]
         lib.chunker_create.restype = ctypes.c_void_p
         lib.chunker_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
         lib.chunker_destroy.argtypes = [ctypes.c_void_p]
@@ -125,13 +128,24 @@ class SampleRing:
             self._h, re.ctypes.data_as(_F32P), im.ctypes.data_as(_F32P),
             re.size, int(blocking))
 
-    def pop(self, n: int, blocking: bool = True):
-        """Pop up to n samples -> planar (re, im) float32 of the count read."""
+    def pop(self, n: int, blocking: bool = True,
+            timeout: float | None = None):
+        """Pop up to n samples -> planar (re, im) float32 of the count read.
+
+        timeout (seconds): wait at most this long for n samples, then
+        return what arrived — the radio sample-clock pop (reference
+        usrp::get_samples blocking recv, src/usrp.cpp:125-130).
+        """
         re = np.empty(n, np.float32)
         im = np.empty(n, np.float32)
-        got = self._lib.ring_pop(
-            self._h, re.ctypes.data_as(_F32P), im.ctypes.data_as(_F32P),
-            n, int(blocking))
+        if timeout is not None:
+            got = self._lib.ring_pop_timeout(
+                self._h, re.ctypes.data_as(_F32P), im.ctypes.data_as(_F32P),
+                n, float(timeout) * 1e3)
+        else:
+            got = self._lib.ring_pop(
+                self._h, re.ctypes.data_as(_F32P), im.ctypes.data_as(_F32P),
+                n, int(blocking))
         return re[:got], im[:got]
 
     def __len__(self) -> int:
