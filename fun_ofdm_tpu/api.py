@@ -37,6 +37,8 @@ class Transmitter:
     def __init__(self, sink=None, params: RadioParams = RadioParams()):
         self.sink = sink if sink is not None else LoopbackRadio(params)
         self.params = params
+        from .utils.cache import enable_persistent_cache
+        enable_persistent_cache()
 
     def send_frame(self, payload, rate: Rate = Rate.RATE_1_2_BPSK) -> int:
         """Build one frame and send it; returns the sample count sent

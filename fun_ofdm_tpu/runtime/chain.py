@@ -1,14 +1,22 @@
-"""Streaming receiver chain: stateful chunked RX over the jitted pipeline.
+"""Streaming receiver chain: pipelined chunked RX over the jitted pipeline.
 
 TPU-native equivalent of the reference's receiver_chain runtime
 (src/receiver_chain.cpp:29-126): `process_samples(chunk)` accepts
 arbitrary-length sample runs and returns every CRC-valid payload whose
-frame completed. Where the reference threads six stateful blocks with
-semaphores and per-stage carryover buffers, this chain keeps ONE piece of
-host state — a native overlap-save chunker (csrc/stream_runtime.cpp) that
-re-presents a forward halo so any frame starting inside an owned chunk is
-whole inside that chunk's window — and runs the whole detect+decode
-pipeline as jitted device calls on fixed window shapes.
+frame completed. The reference overlaps its six block stages with one
+thread per block and a barrier per 4096-sample chunk; here the same
+overlap comes from XLA's async dispatch:
+
+  * Each arriving stride of samples is shipped to the device ONCE and
+    appended to a device-resident rolling window (jitted concat) — the
+    overlap-save halo is re-used on device instead of re-uploaded
+    (round 1 shipped the full stride+halo window per stride: ~11x
+    redundant H2D with the all-rates halo).
+  * Stage dispatches are asynchronous and syncs are deferred behind a
+    small in-flight queue: while the host syncs window N's header results
+    and does packet bookkeeping, the device is already running window
+    N+1's detection pass (the reference's pipeline parallelism,
+    src/receiver_chain.cpp:58-95, recast as dispatch-ahead).
 
 Two device passes per window (the reference's frame_decoder does the same
 two-phase header-then-payload walk, src/frame_decoder.cpp:45-91):
@@ -22,6 +30,7 @@ owned [0, stride) region contains its preamble start.
 
 from __future__ import annotations
 
+import collections
 import functools
 import sys
 import time
@@ -71,8 +80,10 @@ class ChainStats:
     length_overflow: int = 0
     #: windows where every detection slot filled (possible missed frames)
     detect_saturated: int = 0
-    #: wall-clock split of the two device passes (the analogue of the
-    #: reference's per-block work() timing, src/receiver_chain.cpp:84-92)
+    #: wall-clock the host spent blocked on device results per stage (the
+    #: analogue of the reference's per-block work() timing,
+    #: src/receiver_chain.cpp:84-92); dispatch is async so this is sync
+    #: wait time, not device time
     time_headers_s: float = 0.0
     time_decode_s: float = 0.0
 
@@ -94,6 +105,9 @@ class ReceiverChain:
         (the reference's is dead code; see models/rx.estimate_cfo_p).
       verbose: print "Invalid CRC (length N)" to stderr on CRC failures,
         matching the reference's only runtime diagnostic (src/ppdu.cpp:276).
+      pipeline_depth: in-flight device windows before the host blocks on
+        the oldest (>=1; 1 = fully synchronous round-1 behavior). The
+        reference's analogue is its 6-stage chunk pipeline.
 
     process_samples() accepts any-length complex or planar chunks, exactly
     like receiver_chain::process_samples (src/receiver_chain.cpp:106).
@@ -103,7 +117,8 @@ class ReceiverChain:
                  max_length: int = 1500,
                  params: ChainParams = DEFAULT_PARAMS,
                  cfo_correct: bool = False,
-                 verbose: bool = False):
+                 verbose: bool = False,
+                 pipeline_depth: int = 2):
         if max_length > MAX_FRAME_SIZE:
             raise ValueError(f"max_length > MAX_FRAME_SIZE ({MAX_FRAME_SIZE})")
         self.rates = tuple(Rate(r) for r in rates)
@@ -115,6 +130,7 @@ class ReceiverChain:
                    for r in self.rates)
         self.window = self.stride + max(halo, DETECT_LEAD)
         self.verbose = bool(verbose)
+        self.pipeline_depth = max(1, int(pipeline_depth))
         # Detection capacity: the reference has no cap (its detector tags
         # every plateau). Auto-size ours so even back-to-back minimal
         # frames anywhere in the detect region [0, stride + DETECT_LEAD)
@@ -126,12 +142,38 @@ class ReceiverChain:
             min_frame = min(params_for(r).frame_samples(0)
                             for r in self.rates)
             self.max_frames = -(-(self.stride + DETECT_LEAD) // min_frame) + 1
-        self._chunker = native.Chunker(self.stride, self.window)
         self._valid_fields = {params_for(r).rate_field: r for r in self.rates}
+        # second runs of any chain-using CLI/API start in seconds
+        from ..utils.cache import enable_persistent_cache
+        enable_persistent_cache()
         self._jit_cache: dict = {}
         self.stats = ChainStats()
 
+        # host side: slice arbitrary pushes into exact stride chunks
+        self._rechunk = native.Chunker(self.stride, self.stride)
+        # device side: rolling window state
+        self._dev_win = None          # planar (window,) device arrays
+        self._rolls = 0               # stride chunks ingested (incl. pad)
+        self._t_real = 0              # real samples pushed
+        # in-flight queues: headers awaiting sync, decodes awaiting sync
+        self._hdr_q: collections.deque = collections.deque()
+        self._dec_q: collections.deque = collections.deque()
+
     # --- jitted device functions (built lazily, cached per chain) --------
+
+    def _roll_fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        key = "roll"
+        if key not in self._jit_cache:
+            s = self.stride
+
+            def fn(wr, wi, cr, ci):
+                return (jnp.concatenate([wr[s:], cr]),
+                        jnp.concatenate([wi[s:], ci]))
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
 
     def _headers_fn(self):
         import jax
@@ -139,23 +181,25 @@ class ReceiverChain:
 
         key = "headers"
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(functools.partial(
-                frontend.decode_headers_p,
-                max_frames=self.max_frames,
-                params=self.params))
+            ds = self.stride + DETECT_LEAD
+
+            def fn(wr, wi):
+                return frontend.decode_headers_p(
+                    (wr[:ds], wi[:ds]), max_frames=self.max_frames,
+                    params=self.params)
+            self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def _decode_fn(self, rate: Rate):
         import jax
-        import jax.numpy as jnp
         from ..models import rx
 
         key = ("decode", rate)
         if key not in self._jit_cache:
-            def fn(stream, starts):
+            def fn(wr, wi, starts):
                 return jax.vmap(
                     lambda s: rx.decode_frame_dynamic_p(
-                        stream, rate, self.max_length, start=s,
+                        (wr, wi), rate, self.max_length, start=s,
                         cfo_correct=self.cfo_correct))(starts)
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
@@ -166,85 +210,143 @@ class ReceiverChain:
         """Feed a chunk of samples; return packets completed by it.
 
         samples: 1-D complex array, or planar (re, im) float arrays.
+        Packets may be returned on a later call than the one whose samples
+        completed them (pipelining); flush() drains everything.
         """
-        self._chunker.push(samples)
-        self.stats.samples_in += (samples[0].size if isinstance(samples, tuple)
-                                  else np.asarray(samples).size)
-        packets: list[DecodedPacket] = []
-        while self._chunker.ready():
-            packets.extend(self._process_window(self._chunker.pop()))
-        return packets
+        n = (samples[0].size if isinstance(samples, tuple)
+             else np.asarray(samples).size)
+        self._rechunk.push(samples)
+        self.stats.samples_in += n
+        self._t_real += n
+        while True:
+            chunk = None if not self._rechunk.ready() else self._rechunk.pop()
+            if chunk is None:
+                break
+            self._ingest(chunk[0], chunk[1])
+        return self._drain(force=False)
 
     def flush(self) -> list[DecodedPacket]:
         """Drain buffered samples (zero-padding the tail) at stream end."""
-        packets: list[DecodedPacket] = []
-        while True:
-            out = self._chunker.pop(pad=True)
-            if out is None:
-                return packets
-            packets.extend(self._process_window(out))
+        tail = self._rechunk.pop(pad=True)
+        if tail is not None:
+            self._ingest(tail[0], tail[1])
+        # keep rolling zero strides until every real sample's owned
+        # window has been processed
+        zeros = np.zeros(self.stride, np.float32)
+        while self._rolls * self.stride - self.window + self.stride \
+                < self._t_real:
+            self._ingest(zeros, zeros)
+        return self._drain(force=True)
 
-    def _process_window(self, window) -> list[DecodedPacket]:
+    # --- pipeline stages ---------------------------------------------------
+
+    def _ingest(self, c_re: np.ndarray, c_im: np.ndarray) -> None:
+        """Ship one stride to the device, roll the window, dispatch
+        detection+headers asynchronously."""
         import jax.numpy as jnp
 
-        w_re, w_im, gpos = window
+        if self._dev_win is None:
+            z = jnp.zeros(self.window - self.stride, jnp.float32)
+            self._dev_win = (jnp.concatenate([z, jnp.asarray(c_re)]),
+                             jnp.concatenate([z, jnp.asarray(c_im)]))
+        else:
+            self._dev_win = self._roll_fn()(
+                self._dev_win[0], self._dev_win[1],
+                jnp.asarray(c_re), jnp.asarray(c_im))
+        self._rolls += 1
+        gpos = self._rolls * self.stride - self.window
+        if gpos + self.stride <= 0:
+            return  # warm-up: owned region entirely before the stream
         self.stats.windows += 1
-        detect = (jnp.asarray(w_re[: self.stride + DETECT_LEAD]),
-                  jnp.asarray(w_im[: self.stride + DETECT_LEAD]))
-        t0 = time.perf_counter()
-        hdr = self._headers_fn()(detect)
-        starts = np.asarray(hdr["starts"])
-        self.stats.time_headers_s += time.perf_counter() - t0
-        if np.asarray(hdr["valid"]).all():
-            # every detection slot filled: frames beyond capacity in this
-            # window were silently missed (reference chain has no cap)
-            self.stats.detect_saturated += 1
-            if self.verbose:
-                print(f"Detection saturated ({self.max_frames} slots)",
-                      file=sys.stderr)
-        owned = (np.asarray(hdr["header_ok"])
-                 & (starts >= 0) & (starts < self.stride))
-        if not owned.any():
-            return []
-        self.stats.headers_ok += int(owned.sum())
+        hdr = self._headers_fn()(*self._dev_win)
+        self._hdr_q.append((gpos, self._dev_win, hdr))
 
-        stream_dev = (jnp.asarray(w_re), jnp.asarray(w_im))
-        fields = np.asarray(hdr["rate_field"])
-        lengths = np.asarray(hdr["hdr_length"])
-        packets: list[DecodedPacket] = []
-        for field_val in np.unique(fields[owned]):
-            rate = self._valid_fields.get(int(field_val))
-            if rate is None:  # valid-parity header at an unconfigured rate
-                self.stats.unknown_rate += int(
-                    (owned & (fields == field_val)).sum())
+    @staticmethod
+    def _ready(arr) -> bool:
+        is_ready = getattr(arr, "is_ready", None)
+        return bool(is_ready()) if is_ready is not None else False
+
+    def _drain(self, force: bool) -> list[DecodedPacket]:
+        """Sync finished stages past the pipeline depth; return packets.
+
+        Header results are synced when the queue exceeds pipeline_depth OR
+        the device has already produced them (opportunistic, keeps sparse
+        streams prompt); decode jobs were dispatched a drain earlier and
+        are always fully collected so packet delivery never starves behind
+        idle windows.
+        """
+        import jax.numpy as jnp
+
+        keep = 0 if force else self.pipeline_depth
+        while self._hdr_q and (len(self._hdr_q) > keep
+                               or self._ready(self._hdr_q[0][2]["starts"])):
+            gpos, win, hdr = self._hdr_q.popleft()
+            t0 = time.perf_counter()
+            starts = np.asarray(hdr["starts"])
+            valid = np.asarray(hdr["valid"])
+            header_ok = np.asarray(hdr["header_ok"])
+            fields = np.asarray(hdr["rate_field"])
+            lengths = np.asarray(hdr["hdr_length"])
+            self.stats.time_headers_s += time.perf_counter() - t0
+            if valid.all():
+                # every detection slot filled: frames beyond capacity in
+                # this window were silently missed (reference has no cap)
+                self.stats.detect_saturated += 1
+                if self.verbose:
+                    print(f"Detection saturated ({self.max_frames} slots)",
+                          file=sys.stderr)
+            owned = header_ok & (starts >= 0) & (starts < self.stride) \
+                & (gpos + starts >= 0)
+            if not owned.any():
                 continue
-            over = owned & (fields == field_val) & (lengths > self.max_length)
-            if over.any():  # observable, unlike round 1 (ADVICE low #5)
-                self.stats.length_overflow += int(over.sum())
-            sel = owned & (fields == field_val) & (lengths <= self.max_length)
-            if not sel.any():
-                continue
-            idx = np.nonzero(sel)[0]
-            t1 = time.perf_counter()
-            out = self._decode_fn(rate)(
-                stream_dev, jnp.asarray(starts[idx], jnp.int32))
-            crc_ok = np.asarray(out["crc_ok"])
-            self.stats.time_decode_s += time.perf_counter() - t1
-            payloads = np.asarray(out["payload"], dtype=np.uint8)
-            hdr_len = np.asarray(out["hdr_length"])
-            for k in range(idx.size):
-                if not crc_ok[k]:
-                    # reference: report + drop, keep streaming (ppdu.cpp:274-279)
-                    self.stats.crc_fail += 1
-                    if self.verbose:
-                        print(f"Invalid CRC (length {int(hdr_len[k])})",
-                              file=sys.stderr)
+            self.stats.headers_ok += int(owned.sum())
+            jobs = []
+            for field_val in np.unique(fields[owned]):
+                rate = self._valid_fields.get(int(field_val))
+                if rate is None:  # valid-parity header, unconfigured rate
+                    self.stats.unknown_rate += int(
+                        (owned & (fields == field_val)).sum())
                     continue
-                self.stats.crc_ok += 1
-                n = int(hdr_len[k])
-                packets.append(DecodedPacket(
-                    payload=payloads[k, :n].tobytes(),
-                    rate=rate, length=n,
-                    start=gpos + int(starts[idx[k]])))
-        packets.sort(key=lambda p: p.start)
+                over = (owned & (fields == field_val)
+                        & (lengths > self.max_length))
+                if over.any():  # observable, unlike round 1 (ADVICE #5)
+                    self.stats.length_overflow += int(over.sum())
+                sel = (owned & (fields == field_val)
+                       & (lengths <= self.max_length))
+                if not sel.any():
+                    continue
+                idx = np.nonzero(sel)[0]
+                out = self._decode_fn(rate)(
+                    win[0], win[1], jnp.asarray(starts[idx], jnp.int32))
+                jobs.append((rate, idx, out))
+            if jobs:
+                self._dec_q.append((gpos, starts, jobs))
+
+        packets: list[DecodedPacket] = []
+        while self._dec_q:
+            gpos, starts, jobs = self._dec_q.popleft()
+            wpkts: list[DecodedPacket] = []
+            t1 = time.perf_counter()
+            for rate, idx, out in jobs:
+                crc_ok = np.asarray(out["crc_ok"])
+                payloads = np.asarray(out["payload"], dtype=np.uint8)
+                hdr_len = np.asarray(out["hdr_length"])
+                for k in range(idx.size):
+                    if not crc_ok[k]:
+                        # reference: report + drop, keep streaming
+                        # (ppdu.cpp:274-279)
+                        self.stats.crc_fail += 1
+                        if self.verbose:
+                            print(f"Invalid CRC (length {int(hdr_len[k])})",
+                                  file=sys.stderr)
+                        continue
+                    self.stats.crc_ok += 1
+                    n = int(hdr_len[k])
+                    wpkts.append(DecodedPacket(
+                        payload=payloads[k, :n].tobytes(),
+                        rate=rate, length=n,
+                        start=gpos + int(starts[idx[k]])))
+            self.stats.time_decode_s += time.perf_counter() - t1
+            wpkts.sort(key=lambda p: p.start)
+            packets.extend(wpkts)
         return packets

@@ -1,0 +1,60 @@
+"""Examples as CI: the reference's examples/ directory is its de-facto
+acceptance suite (SURVEY.md section 4); run ours the same way.
+
+Each CLI is executed as a real subprocess (import side effects, arg
+parsing, exit codes all covered) on small configurations. The sim mirrors
+the reference `sim` binary's output contract ("Received N packets",
+reference examples/test_sim.cpp:101-103).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str, *args: str, timeout: int = 600):
+    env = dict(os.environ)
+    # run the device code on the host CPU backend (tests must not depend
+    # on TPU access); keep any TPU plugin out of the way
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.run(
+        [sys.executable, os.path.join(_REPO, "examples", script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=_REPO, env=env)
+
+
+@pytest.mark.slow
+def test_sim_example_small():
+    r = _run("sim.py", "--count", "5", "--length", "200", "--pad", "2000")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Received 5 packets" in r.stdout, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_sim_example_with_awgn():
+    r = _run("sim.py", "--count", "3", "--length", "100",
+             "--rate", "RATE_1_2_QPSK", "--snr", "20", "--pad", "2000")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Received 3 packets" in r.stdout, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_tx_rx_examples_via_file(tmp_path):
+    cap = str(tmp_path / "capture.c64")
+    t = _run("tx.py", cap, "--count", "4", "--length", "150",
+             "--rate", "RATE_3_4_QAM16")
+    assert t.returncode == 0, t.stdout + t.stderr
+    r = _run("rx.py", cap, "--rate", "RATE_3_4_QAM16",
+             "--max-length", "150")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Received 4 packets" in r.stdout, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_transceiver_example():
+    r = _run("transceiver.py", "--count", "3")
+    assert r.returncode == 0, r.stdout + r.stderr
