@@ -13,7 +13,10 @@ idle zeros, while ours is 100% frames. vs_baseline is our dense samples/s
 over that number.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+with extra keys: streaming_samples_per_sec (the user-facing pipelined
+ReceiverChain on the same dense stream, chunked like the reference's
+4096-sample receiver loop) and decoded_payload_mbps.
 """
 
 from __future__ import annotations
@@ -96,11 +99,39 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / reps
 
     samples_per_sec = n_samples / dt
+    payload_mbps = (channels * frames_per_channel * length * 8) / dt / 1e6
+
+    # --- streaming chain: the user-facing ReceiverChain on one channel's
+    # dense stream, fed in 4096-sample chunks like the reference receiver
+    # loop (src/receiver.cpp:42-58) ----------------------------------------
+    from fun_ofdm_tpu.runtime.chain import ReceiverChain
+
+    chain = ReceiverChain(rates=(rate,), max_length=length)
+    sc_re, sc_im = s_re[0], s_im[0]
+    # warm up the chain's jits on one pass, then measure a fresh chain
+    for i in range(0, sc_re.size, 4096):
+        chain.process_samples((sc_re[i:i + 4096], sc_im[i:i + 4096]))
+    chain.flush()
+
+    chain = ReceiverChain(rates=(rate,), max_length=length)
+    t0 = time.perf_counter()
+    got = 0
+    for i in range(0, sc_re.size, 4096):
+        got += len(chain.process_samples(
+            (sc_re[i:i + 4096], sc_im[i:i + 4096])))
+    got += len(chain.flush())
+    dt_stream = time.perf_counter() - t0
+    assert got == frames_per_channel, f"streaming decoded {got}"
+    streaming_sps = sc_re.size / dt_stream
+
     print(json.dumps({
         "metric": "dense_rx_throughput",
         "value": samples_per_sec,
         "unit": "samples/s",
         "vs_baseline": samples_per_sec / REFERENCE_SAMPLES_PER_SEC,
+        "streaming_samples_per_sec": streaming_sps,
+        "streaming_vs_baseline": streaming_sps / REFERENCE_SAMPLES_PER_SEC,
+        "decoded_payload_mbps": payload_mbps,
     }))
 
 

@@ -13,14 +13,12 @@ pallas_calls with the path metrics resident in VMEM:
   * layout: 64 trellis states on sublanes, frames on lanes (BATCH_TILE=128),
     so one ACS step is a handful of (64, 128) VPU ops;
   * forward pass: grid (batch_tiles, time_chunks); metrics live in VMEM
-    scratch across grid steps; the 64 per-step decision bits are packed
-    into TWO int32 words per frame (the SSE kernel packs decision bits
-    too, viterbi.cpp:334-346) and stream out to HBM - 8 bytes per
-    frame-step instead of 64 (Pallas double-buffers the DMA);
-  * chainback pass: a second pallas_call walks the decision words with a
+    scratch across grid steps; per-step decision bits stream out to HBM as
+    int8 blocks (Pallas double-buffers the DMA behind the compute);
+  * chainback pass: a second pallas_call walks the decision blocks with a
     time-reversed index map, carrying the survivor state in scratch; the
-    per-lane "read decision bit at my state" gather is a word select +
-    per-lane variable logical shift (TPU has no per-lane dynamic gather).
+    per-lane "read decision bit at my state" gather is a one-hot multiply +
+    sublane reduction (TPU has no per-lane dynamic gather).
 
 Integer semantics follow the reference exactly: metrics are u8 values
 carried in int32 (saturating add at 255, init 63 with state 0 at 0,
@@ -42,8 +40,6 @@ from .viterbi import K, NUMSTATES, _branch_bits
 
 BATCH_TILE = 128   # frames per lane tile
 TIME_CHUNK = 256   # trellis steps per grid step
-UNROLL = 4         # trellis steps per fori_loop iteration (loop overhead
-                   # amortization; the trellis itself stays sequential)
 
 
 @functools.lru_cache(maxsize=None)
@@ -59,9 +55,7 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
     steps_ref: VMEM (1, B) int32 - per-lane trellis step counts (even).
     bt_ref: VMEM (64, 1) int32 branch table [e0 x32; e1 x32].
     s0_ref/s1_ref: VMEM (TIME_CHUNK, B) int32 soft symbol pairs.
-    dec_ref: VMEM out (TIME_CHUNK, 2, B) int32 packed decision bits -
-             word 0 carries states 0..31 (bit s = state s), word 1
-             states 32..63.
+    dec_ref: VMEM out (TIME_CHUNK, 64, B) int8 decision bits.
     metrics_ref: VMEM scratch (64, B) int32, persists across time chunks.
     """
     t_chunk = pl.program_id(1)
@@ -76,13 +70,8 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
     e1 = e[32:]
     steps = steps_ref[0, :][None, :]         # (1, B)
     base = t_chunk * TIME_CHUNK
-    bsz = metrics_ref.shape[1]
-    # state s maps to word s>>5, bit s&31: butterfly i (i<16 -> word 0,
-    # i>=16 -> word 1) produces even state at bit 2(i%16), odd at +1
-    sh2 = 2 * jax.lax.broadcasted_iota(jnp.int32, (2, 16, bsz), 1)
 
-    def step(i, m):
-        """One exact ACS step: (metrics (64,B)) -> (new metrics, words)."""
+    def body(i, _):
         s0 = s0_ref[i, :][None, :]           # (1, B)
         s1 = s1_ref[i, :][None, :]
         a = jnp.where(e0 == 1, 255 - s0, s0)  # (32, B)
@@ -90,6 +79,7 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
         t = (a + b + 1) >> 3                  # 0..63
         tc = 63 - t
 
+        m = metrics_ref[:]                    # (64, B)
         lo = m[:32, :]
         hi = m[32:, :]
         m_even_lo = jnp.minimum(lo + t, 255)
@@ -97,45 +87,30 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
         m_odd_lo = jnp.minimum(lo + tc, 255)
         m_odd_hi = jnp.minimum(hi + t, 255)
 
-        new_even = jnp.minimum(m_even_lo, m_even_hi)  # states 0,2,..,62
-        dec_even = (m_even_hi <= m_even_lo).astype(jnp.int32)
-        new_odd = jnp.minimum(m_odd_lo, m_odd_hi)     # states 1,3,..,63
-        dec_odd = (m_odd_hi <= m_odd_lo).astype(jnp.int32)
+        new_even = jnp.minimum(m_even_lo, m_even_hi)
+        dec_even = (m_even_hi <= m_even_lo).astype(jnp.int8)
+        new_odd = jnp.minimum(m_odd_lo, m_odd_hi)
+        dec_odd = (m_odd_hi <= m_odd_lo).astype(jnp.int8)
 
+        bsz = m.shape[1]
         new = jnp.stack([new_even, new_odd], axis=1).reshape(64, bsz)
-
-        # pack 64 decision bits -> 2 int32 words (disjoint bits: sum == or;
-        # int32 wrap-add keeps bit 31 of word 0 = state 31 correct)
-        packed = (dec_even.reshape(2, 16, bsz) << sh2) \
-            + (dec_odd.reshape(2, 16, bsz) << (sh2 + 1))
-        words = jnp.sum(packed, axis=1)       # (2, B)
+        dec = jnp.stack([dec_even, dec_odd], axis=1).reshape(64, bsz)
 
         need = new[0:1, :] > 210
-        new = jax.lax.cond(
-            jnp.any(need),
-            lambda n: jnp.where(
-                need, n - jnp.min(n, axis=0, keepdims=True), n),
-            lambda n: n, new)
+        new = jnp.where(need, new - jnp.min(new, axis=0, keepdims=True), new)
 
         live = (base + i) < steps            # (1, B); steps beyond a lane's
-        dec_ref[i] = jnp.where(live, words, 0)  # trellis are zero-filled
-        return jnp.where(live, new, m)        # (viterbi.cpp:193)
-
-    def body(j, _):
-        m = metrics_ref[:]                    # (64, B)
-        for k in range(UNROLL):
-            m = step(j * UNROLL + k, m)
-        metrics_ref[:] = m
+        dec_ref[i] = jnp.where(live, dec, 0)  # trellis are zero-filled
+        metrics_ref[:] = jnp.where(live, new, m)  # (viterbi.cpp:193)
         return 0
 
-    jax.lax.fori_loop(0, TIME_CHUNK // UNROLL, body, 0)
+    jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
 
 
 def _chainback_kernel(dec_ref, out_ref, state_ref):
     """Survivor chainback over one time chunk, walked newest-to-oldest.
 
-    dec_ref: VMEM (TIME_CHUNK, 2, B) int32 packed decisions
-             (time-reversed grid).
+    dec_ref: VMEM (TIME_CHUNK, 64, B) int8 decisions (time-reversed grid).
     out_ref: VMEM (TIME_CHUNK, B) int32 - decision bit read at each step.
     state_ref: VMEM scratch (1, B) int32 survivor state, persists.
     """
@@ -143,19 +118,17 @@ def _chainback_kernel(dec_ref, out_ref, state_ref):
     def _():
         state_ref[:] = jnp.zeros_like(state_ref)
 
-    def body(j, _):
+    def body(k, _):
+        i = TIME_CHUNK - 1 - k
+        dec = dec_ref[i].astype(jnp.int32)    # (64, B)
         state = state_ref[:]                  # (1, B)
-        for k in range(UNROLL):
-            i = TIME_CHUNK - 1 - (j * UNROLL + k)
-            d = dec_ref[i]                    # (2, B) packed words
-            word = jnp.where(state < 32, d[0:1, :], d[1:2, :])
-            bit = jax.lax.shift_right_logical(word, state & 31) & 1
-            out_ref[i, :] = bit[0, :]
-            state = (state >> 1) | (bit << 5)
-        state_ref[:] = state
+        row = jax.lax.broadcasted_iota(jnp.int32, dec.shape, 0)
+        bit = jnp.sum(jnp.where(row == state, dec, 0), axis=0, keepdims=True)
+        out_ref[i, :] = bit[0, :]
+        state_ref[:] = (state >> 1) | (bit << 5)
         return 0
 
-    jax.lax.fori_loop(0, TIME_CHUNK // UNROLL, body, 0)
+    jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -190,9 +163,9 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TIME_CHUNK, 2, BATCH_TILE), lambda b, t: (t, 0, b),
+            (TIME_CHUNK, NUMSTATES, BATCH_TILE), lambda b, t: (t, 0, b),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_pad, 2, bsz), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, NUMSTATES, bsz), jnp.int8),
         scratch_shapes=[pltpu.VMEM((NUMSTATES, BATCH_TILE), jnp.int32)],
         interpret=interpret,
     )(steps_vec[None, :], jnp.asarray(_branch_cols()), s0, s1)
@@ -201,7 +174,7 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
         _chainback_kernel,
         grid=(n_bt, n_tc),
         in_specs=[
-            pl.BlockSpec((TIME_CHUNK, 2, BATCH_TILE),
+            pl.BlockSpec((TIME_CHUNK, NUMSTATES, BATCH_TILE),
                          lambda b, t: (pl.num_programs(1) - 1 - t, 0, b),
                          memory_space=pltpu.VMEM),
         ],
