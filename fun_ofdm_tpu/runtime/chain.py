@@ -31,7 +31,6 @@ owned [0, stride) region contains its preamble start.
 from __future__ import annotations
 
 import collections
-import functools
 import sys
 import time
 from dataclasses import dataclass
@@ -39,7 +38,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..config import ChainParams, DEFAULT_PARAMS
-from ..rates import ALL_RATES, Rate, from_rate_field, params_for
+from ..rates import ALL_RATES, Rate, params_for
 from . import native
 
 #: detection + SIGNAL header need this much beyond a frame start

@@ -249,6 +249,29 @@ def test_chain_length_overflow_counter():
     assert chain.stats.length_overflow == 1
 
 
+def test_chain_pipeline_depths_equivalent():
+    """Any pipeline_depth delivers the identical packet set (depth only
+    changes when syncs happen, never what is decoded)."""
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, 33, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload), Rate.RATE_1_2_QPSK))
+    stream = np.zeros(16384, np.complex64)
+    starts = [10, 3000, 8111, 12000]
+    for s in starts:
+        stream[s:s + frame.size] = frame
+    results = []
+    for depth in (1, 3):
+        chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=33,
+                              pipeline_depth=depth)
+        pkts = []
+        for i in range(0, stream.size, 1000):
+            pkts += chain.process_samples(stream[i:i + 1000])
+        pkts += chain.flush()
+        results.append([(p.start, p.payload) for p in pkts])
+    assert results[0] == results[1]
+    assert [s for s, _ in results[0]] == starts
+
+
 def test_chain_rejects_truncated_frame():
     rng = np.random.default_rng(2)
     payload = rng.integers(0, 256, 80, dtype=np.uint8)
