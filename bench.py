@@ -104,25 +104,33 @@ def main() -> None:
     # --- streaming chain: the user-facing ReceiverChain on one channel's
     # dense stream, fed in 4096-sample chunks like the reference receiver
     # loop (src/receiver.cpp:42-58) ----------------------------------------
+    from fun_ofdm_tpu.config import ChainParams
     from fun_ofdm_tpu.runtime.chain import ReceiverChain
 
-    chain = ReceiverChain(rates=(rate,), max_length=length)
     sc_re, sc_im = s_re[0], s_im[0]
-    # warm up the chain's jits on one pass, then measure a fresh chain
-    for i in range(0, sc_re.size, 4096):
-        chain.process_samples((sc_re[i:i + 4096], sc_im[i:i + 4096]))
-    chain.flush()
 
-    chain = ReceiverChain(rates=(rate,), max_length=length)
-    t0 = time.perf_counter()
-    got = 0
-    for i in range(0, sc_re.size, 4096):
-        got += len(chain.process_samples(
-            (sc_re[i:i + 4096], sc_im[i:i + 4096])))
-    got += len(chain.flush())
-    dt_stream = time.perf_counter() - t0
-    assert got == frames_per_channel, f"streaming decoded {got}"
-    streaming_sps = sc_re.size / dt_stream
+    def run_stream(chunk_size: int, warm: bool) -> float:
+        params = ChainParams(chunk_size=chunk_size)
+        chain = ReceiverChain(rates=(rate,), max_length=length,
+                              params=params)
+        t0 = time.perf_counter()
+        got = 0
+        for i in range(0, sc_re.size, chunk_size):
+            got += len(chain.process_samples(
+                (sc_re[i:i + chunk_size], sc_im[i:i + chunk_size])))
+        got += len(chain.flush())
+        dt = time.perf_counter() - t0
+        if not warm:
+            assert got == frames_per_channel, f"streaming decoded {got}"
+        return sc_re.size / dt
+
+    # reference-parity chunking (NUM_RX_SAMPLES=4096, receiver.h:16) and a
+    # TPU-tuned operating point (larger strides amortize the per-window
+    # host<->device round trip; the 4096 choice is a CPU-era constant)
+    run_stream(4096, warm=True)     # compile
+    streaming_sps = run_stream(4096, warm=False)
+    run_stream(65536, warm=True)    # compile
+    streaming_tuned_sps = run_stream(65536, warm=False)
 
     print(json.dumps({
         "metric": "dense_rx_throughput",
@@ -131,6 +139,9 @@ def main() -> None:
         "vs_baseline": samples_per_sec / REFERENCE_SAMPLES_PER_SEC,
         "streaming_samples_per_sec": streaming_sps,
         "streaming_vs_baseline": streaming_sps / REFERENCE_SAMPLES_PER_SEC,
+        "streaming_tuned_samples_per_sec": streaming_tuned_sps,
+        "streaming_tuned_vs_baseline":
+            streaming_tuned_sps / REFERENCE_SAMPLES_PER_SEC,
         "decoded_payload_mbps": payload_mbps,
     }))
 
