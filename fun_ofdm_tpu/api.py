@@ -40,6 +40,12 @@ class Transmitter:
         from .utils.cache import enable_persistent_cache
         enable_persistent_cache()
 
+    def _send(self, re, im) -> None:
+        # reference transmitter::send_frame uses the SYNC burst
+        # (src/transmitter.cpp:33-37); fall back for sinks without one
+        send = getattr(self.sink, "send_burst_sync", self.sink.send_burst)
+        send((re, im))
+
     def send_frame(self, payload, rate: Rate = Rate.RATE_1_2_BPSK) -> int:
         """Build one frame and send it; returns the sample count sent
         (reference: src/transmitter.cpp:33-37)."""
@@ -48,7 +54,7 @@ class Transmitter:
 
         data = np.frombuffer(bytes(payload), dtype=np.uint8)
         re, im = tx.build_frame_p_jit(Rate(rate))(jnp.asarray(data))
-        self.sink.send_burst((np.asarray(re), np.asarray(im)))
+        self._send(np.asarray(re), np.asarray(im))
         return int(re.shape[-1])
 
     def send_burst(self, payloads: Sequence, rate: Rate) -> int:
@@ -64,7 +70,7 @@ class Transmitter:
         re, im = tx.build_frame_p_jit(Rate(rate))(jnp.asarray(batch))
         re = np.asarray(re).reshape(-1)
         im = np.asarray(im).reshape(-1)
-        self.sink.send_burst((re, im))
+        self._send(re, im)
         return int(re.size)
 
 

@@ -48,6 +48,11 @@ DETECT_LEAD = 512
 #: reference MAX_FRAME_SIZE (src/ppdu.h:17)
 MAX_FRAME_SIZE = 2000
 
+#: pad per-window device->host result blocks up to this many bytes:
+#: small fetches are latency-pathological on remote transports (measured
+#: on the tunnel: <16 KB can cost 1000x a 64 KB fetch; docs/NOTES_r2.md)
+FETCH_PAD_BYTES = 1 << 16
+
 
 @dataclass(frozen=True)
 class DecodedPacket:
@@ -160,46 +165,69 @@ class ReceiverChain:
 
     # --- jitted device functions (built lazily, cached per chain) --------
 
-    def _roll_fn(self):
+    def _step_fn(self):
+        """One fused device call per stride: roll the device-resident
+        window by the incoming chunk AND run the detection+header pass on
+        the new window. Returns (new_window_re, new_window_im,
+        header_block) where header_block is ONE flat int32 array — rows
+        [starts, valid, rate_field, hdr_length, header_ok] padded to
+        FETCH_PAD_BYTES. One dispatch and one device->host fetch per
+        window: both dispatches and small fetches are latency-bound per
+        transaction (1+ ms each locally, far worse on remote transports),
+        and this path runs once per stride forever."""
         import jax
         import jax.numpy as jnp
-
-        key = "roll"
-        if key not in self._jit_cache:
-            s = self.stride
-
-            def fn(wr, wi, cr, ci):
-                return (jnp.concatenate([wr[s:], cr]),
-                        jnp.concatenate([wi[s:], ci]))
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
-
-    def _headers_fn(self):
-        import jax
         from ..models import frontend
 
-        key = "headers"
+        key = "step"
         if key not in self._jit_cache:
+            s = self.stride
             ds = self.stride + DETECT_LEAD
 
-            def fn(wr, wi):
-                return frontend.decode_headers_p(
+            def fn(wr, wi, cr, ci):
+                wr = jnp.concatenate([wr[s:], cr])
+                wi = jnp.concatenate([wi[s:], ci])
+                h = frontend.decode_headers_p(
                     (wr[:ds], wi[:ds]), max_frames=self.max_frames,
                     params=self.params)
+                flat = jnp.stack([
+                    h["starts"].astype(jnp.int32),
+                    h["valid"].astype(jnp.int32),
+                    h["rate_field"].astype(jnp.int32),
+                    h["hdr_length"].astype(jnp.int32),
+                    h["header_ok"].astype(jnp.int32),
+                ]).reshape(-1)
+                pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
+                return wr, wi, jnp.concatenate(
+                    [flat, jnp.zeros(pad, jnp.int32)])
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def _decode_fn(self, rate: Rate):
+        """Payload pass returning ONE (k, max_length + 3) uint8 array per
+        window — payload bytes, then [crc_ok, len_lo, len_hi] (single
+        fetch, same rationale as _headers_fn)."""
         import jax
+        import jax.numpy as jnp
         from ..models import rx
 
         key = ("decode", rate)
         if key not in self._jit_cache:
             def fn(wr, wi, starts):
-                return jax.vmap(
+                out = jax.vmap(
                     lambda s: rx.decode_frame_dynamic_p(
                         (wr, wi), rate, self.max_length, start=s,
                         cfo_correct=self.cfo_correct))(starts)
+                ln = out["hdr_length"].astype(jnp.int32)
+                flat = jnp.concatenate([
+                    out["payload"].astype(jnp.uint8),
+                    out["crc_ok"][:, None].astype(jnp.uint8),
+                    (ln[:, None] & 0xFF).astype(jnp.uint8),
+                    ((ln[:, None] >> 8) & 0xFF).astype(jnp.uint8),
+                ], axis=1).reshape(-1)
+                pad = max(0, FETCH_PAD_BYTES - flat.shape[0])
+                return jnp.concatenate(
+                    [flat, jnp.zeros(pad, jnp.uint8)])
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
@@ -240,24 +268,27 @@ class ReceiverChain:
     # --- pipeline stages ---------------------------------------------------
 
     def _ingest(self, c_re: np.ndarray, c_im: np.ndarray) -> None:
-        """Ship one stride to the device, roll the window, dispatch
-        detection+headers asynchronously."""
+        """Ship one stride to the device and run the fused
+        roll+detect+headers step asynchronously (one dispatch)."""
         import jax.numpy as jnp
 
         if self._dev_win is None:
-            z = jnp.zeros(self.window - self.stride, jnp.float32)
-            self._dev_win = (jnp.concatenate([z, jnp.asarray(c_re)]),
-                             jnp.concatenate([z, jnp.asarray(c_im)]))
-        else:
-            self._dev_win = self._roll_fn()(
-                self._dev_win[0], self._dev_win[1],
-                jnp.asarray(c_re), jnp.asarray(c_im))
+            z = jnp.zeros(self.window, jnp.float32)
+            self._dev_win = (z, z)
+        wr, wi, hdr = self._step_fn()(
+            self._dev_win[0], self._dev_win[1],
+            jnp.asarray(c_re), jnp.asarray(c_im))
+        self._dev_win = (wr, wi)
         self._rolls += 1
         gpos = self._rolls * self.stride - self.window
         if gpos + self.stride <= 0:
             return  # warm-up: owned region entirely before the stream
+        # start the device->host copy now so the wire time overlaps the
+        # next windows' compute instead of serializing into the sync
+        copy_async = getattr(hdr, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
         self.stats.windows += 1
-        hdr = self._headers_fn()(*self._dev_win)
         self._hdr_q.append((gpos, self._dev_win, hdr))
 
     @staticmethod
@@ -278,15 +309,16 @@ class ReceiverChain:
 
         keep = 0 if force else self.pipeline_depth
         while self._hdr_q and (len(self._hdr_q) > keep
-                               or self._ready(self._hdr_q[0][2]["starts"])):
+                               or self._ready(self._hdr_q[0][2])):
             gpos, win, hdr = self._hdr_q.popleft()
             t0 = time.perf_counter()
-            starts = np.asarray(hdr["starts"])
-            valid = np.asarray(hdr["valid"])
-            header_ok = np.asarray(hdr["header_ok"])
-            fields = np.asarray(hdr["rate_field"])
-            lengths = np.asarray(hdr["hdr_length"])
+            h = np.asarray(hdr)[: 5 * self.max_frames].reshape(5, -1)
             self.stats.time_headers_s += time.perf_counter() - t0
+            starts = h[0]
+            valid = h[1].astype(bool)
+            fields = h[2]
+            lengths = h[3]
+            header_ok = h[4].astype(bool)
             if valid.all():
                 # every detection slot filled: frames beyond capacity in
                 # this window were silently missed (reference has no cap)
@@ -317,6 +349,9 @@ class ReceiverChain:
                 idx = np.nonzero(sel)[0]
                 out = self._decode_fn(rate)(
                     win[0], win[1], jnp.asarray(starts[idx], jnp.int32))
+                copy_async = getattr(out, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
                 jobs.append((rate, idx, out))
             if jobs:
                 self._dec_q.append((gpos, starts, jobs))
@@ -327,9 +362,13 @@ class ReceiverChain:
             wpkts: list[DecodedPacket] = []
             t1 = time.perf_counter()
             for rate, idx, out in jobs:
-                crc_ok = np.asarray(out["crc_ok"])
-                payloads = np.asarray(out["payload"], dtype=np.uint8)
-                hdr_len = np.asarray(out["hdr_length"])
+                row = self.max_length + 3
+                packed = np.asarray(out)[: idx.size * row].reshape(-1, row)
+                payloads = packed[:, :self.max_length]
+                crc_ok = packed[:, self.max_length].astype(bool)
+                hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
+                           | (packed[:, self.max_length + 2]
+                              .astype(np.int32) << 8))
                 for k in range(idx.size):
                     if not crc_ok[k]:
                         # reference: report + drop, keep streaming

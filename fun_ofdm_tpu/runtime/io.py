@@ -26,8 +26,8 @@ real radio's constant sample clock).
 
 from __future__ import annotations
 
+import queue
 import threading
-import time
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -102,12 +102,16 @@ class LoopbackRadio:
         self._ring = SampleRing(capacity)
         self._rng = np.random.default_rng(0)
         self._lock = threading.Lock()
+        self._tx_q = None
+        self._tx_thread: Optional[threading.Thread] = None
         self.stats = RadioStats()
 
-    # --- TX side (reference usrp::send_burst_sync, src/usrp.cpp:91) ------
+    # --- TX side (reference usrp::send_burst / send_burst_sync,
+    # src/usrp.cpp:91-123: _sync blocks on the BURST_ACK, the plain
+    # variant is fire-and-forget) ------------------------------------------
 
-    def send_burst(self, samples) -> None:
-        re, im = _planar_f32(samples)
+    def _tx_push(self, re: np.ndarray, im: np.ndarray) -> None:
+        """Apply amp/channel and push one whole burst onto the air."""
         amp = np.float32(self.params.tx_amp)
         re, im = re * amp, im * amp
         if self._channel is not None:
@@ -127,7 +131,44 @@ class LoopbackRadio:
                 return
             self._ring.push((re, im), blocking=False)
 
-    send_burst_sync = send_burst  # parity alias; loopback push is sync
+    def _tx_worker(self) -> None:
+        while True:
+            item = self._tx_q.get()
+            if item is None:
+                return
+            re, im, done = item
+            try:
+                self._tx_push(re, im)
+            finally:
+                if done is not None:
+                    done.set()
+
+    def _enqueue(self, samples, wait: bool) -> None:
+        if self._tx_q is None:
+            with self._lock:
+                if self._tx_q is None:
+                    self._tx_q = queue.SimpleQueue()
+                    self._tx_thread = threading.Thread(
+                        target=self._tx_worker, name="fun_ofdm_tx",
+                        daemon=True)
+                    self._tx_thread.start()
+        re, im = _planar_f32(samples)
+        done = threading.Event() if wait else None
+        self._tx_q.put((re, im, done))
+        if done is not None:
+            done.wait()
+
+    def send_burst(self, samples) -> None:
+        """Fire-and-forget: queue the burst to the TX worker and return
+        (reference usrp::send_burst, src/usrp.cpp:116-123). Order is
+        preserved with send_burst_sync (same queue)."""
+        self._enqueue(samples, wait=False)
+
+    def send_burst_sync(self, samples) -> None:
+        """Send one burst and wait until it is fully on the air
+        (reference usrp::send_burst_sync BURST_ACK wait,
+        src/usrp.cpp:91-114)."""
+        self._enqueue(samples, wait=True)
 
     # --- RX side (reference usrp::get_samples, src/usrp.cpp:125) ---------
 
@@ -160,8 +201,20 @@ class LoopbackRadio:
     def pending(self) -> int:
         return len(self._ring)
 
+    def wait_tx(self) -> None:
+        """Block until every queued async burst is on the air."""
+        if self._tx_q is not None:
+            self._enqueue((np.zeros(0, np.float32),
+                           np.zeros(0, np.float32)), wait=True)
+
     def close(self) -> None:
+        # close the ring first so a TX worker blocked on a full ring
+        # unblocks (closed pushes return early), then drain the worker
         self._ring.close()
+        if self._tx_thread is not None:
+            self._tx_q.put(None)
+            self._tx_thread.join(timeout=10)
+            self._tx_thread = None
 
 
 class FileSource:

@@ -110,8 +110,8 @@ def test_loopback_drop_policy_and_stats():
     """block_on_full=False drops oversized bursts whole and counts them
     (the reference surfaces UHD overflow as 'D's, src/usrp.cpp:116-123)."""
     radio = LoopbackRadio(capacity=256, pace_idle=False, block_on_full=False)
-    radio.send_burst(np.ones(200, np.complex64))
-    radio.send_burst(np.ones(100, np.complex64))  # only 56 free -> dropped
+    radio.send_burst_sync(np.ones(200, np.complex64))
+    radio.send_burst_sync(np.ones(100, np.complex64))  # 56 free -> dropped
     assert radio.stats.overruns == 1
     assert radio.stats.dropped_samples == 100
     re, _ = radio.get_samples(200)
@@ -119,6 +119,24 @@ def test_loopback_drop_policy_and_stats():
     # idle bus -> underrun fill is counted
     radio.get_samples(64)
     assert radio.stats.underruns == 1 and radio.stats.fill_samples == 64
+
+
+def test_loopback_async_burst_order_and_wait():
+    """send_burst is fire-and-forget (reference usrp::send_burst,
+    src/usrp.cpp:116-123) but preserves order with send_burst_sync."""
+    radio = LoopbackRadio(pace_idle=False)
+    radio.send_burst(np.full(64, 1 + 0j, np.complex64))
+    radio.send_burst(np.full(64, 2 + 0j, np.complex64))
+    radio.send_burst_sync(np.full(64, 3 + 0j, np.complex64))  # barrier
+    assert radio.pending == 192
+    re, _ = radio.get_samples(192)
+    assert np.array_equal(np.unique(re[:64]), [1.0])
+    assert np.array_equal(np.unique(re[64:128]), [2.0])
+    assert np.array_equal(np.unique(re[128:]), [3.0])
+    radio.send_burst(np.full(32, 4 + 0j, np.complex64))
+    radio.wait_tx()
+    assert radio.pending == 32
+    radio.close()
 
 
 def test_loopback_paced_idle_read_blocks_then_fills():
