@@ -1,22 +1,24 @@
 #!/usr/bin/env python3
-"""Benchmark: dense-stream RX throughput on real TPU hardware.
+"""Benchmark: RX + TX throughput on real TPU hardware.
 
-Pushes a dense capture (back-to-back 1500-byte RATE_3_4_QAM16 frames, the
-reference test_sim configuration) through the full detect+decode pipeline
-(STS autocorrelation, LTS sync, FFT, channel est, phase tracking, Viterbi,
-CRC) and reports samples/s.
+Four measurements, all against the reference's only published number
+(5.22 Msample/s through its full RX chain; BASELINE.md):
 
-Baseline: the reference sim processes 1100 frame-lengths (100 frames +
-1000x zero pad) of 7120 samples in ~1500.5 ms on its dev machine
-(reference README.md:181-183) = 5.22 Msample/s - and its stream is ~91%
-idle zeros, while ours is 100% frames. vs_baseline is our dense samples/s
-over that number.
+1. dense capture RX: back-to-back 1500-byte RATE_3_4_QAM16 frames (the
+   reference test_sim configuration) through the batched detect+decode
+   megagraph — the TPU-native operating point.
+2. streaming RX (reference parity): the user-facing pipelined
+   ReceiverChain fed 4096-sample float32 chunks like the reference
+   receiver loop (src/receiver.cpp:42-58, NUM_RX_SAMPLES=4096).
+3. streaming RX (tuned): same chain, int16 ingest (the USRP's sc16 wire
+   format — radio-exact) and a larger superstep.
+4. streaming RX all-rates: the Receiver DEFAULT config (rates=ALL_RATES,
+   any frame's rate read from its header, reference
+   src/frame_decoder.cpp:72-88) on a dense mixed-rate stream.
+Plus TX: batched frame building (samples/s onto the air).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
-with extra keys: streaming_samples_per_sec (the user-facing pipelined
-ReceiverChain on the same dense stream, chunked like the reference's
-4096-sample receiver loop) and decoded_payload_mbps.
 """
 
 from __future__ import annotations
@@ -36,18 +38,10 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
 
 
-def main() -> None:
-    from fun_ofdm_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache(CACHE_DIR)
+def bench_capture(jax, jnp, frontend, tx, rate, length):
+    """Dense-capture megagraph throughput (round-2 headline, unchanged)."""
+    from fun_ofdm_tpu.rates import params_for
 
-    import jax
-    import jax.numpy as jnp
-
-    from fun_ofdm_tpu.models import frontend, tx
-    from fun_ofdm_tpu.rates import Rate, params_for
-
-    rate = Rate.RATE_3_4_QAM16
-    length = 1500
     frame_len = params_for(rate).frame_samples(length)  # 7120
 
     # 128 frames fills the Viterbi kernel's 128-lane batch tile exactly
@@ -76,7 +70,6 @@ def main() -> None:
 
     streams_dev = (jax.device_put(jnp.asarray(s_re)),
                    jax.device_put(jnp.asarray(s_im)))
-    # warmup/compile
     out = fn(*streams_dev)
     jax.block_until_ready(out)
     ok = int(np.asarray(out["crc_ok"]).sum())
@@ -98,50 +91,144 @@ def main() -> None:
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
 
-    samples_per_sec = n_samples / dt
-    payload_mbps = (channels * frames_per_channel * length * 8) / dt / 1e6
+    frame_bits = channels * frames_per_channel * length * 8
+    return n_samples / dt, frame_bits / dt / 1e6, (s_re[0], s_im[0])
 
-    # --- streaming chain: the user-facing ReceiverChain on one channel's
-    # dense stream, fed in 4096-sample chunks like the reference receiver
-    # loop (src/receiver.cpp:42-58) ----------------------------------------
-    from fun_ofdm_tpu.config import ChainParams
+
+def bench_tx(jax, jnp, tx, rate, length):
+    """Batched frame-builder throughput (reference src/transmitter.cpp:33-37;
+    its README calls TX 'not very computationally complex' — ours is one
+    fused jit over the whole batch)."""
+    from fun_ofdm_tpu.rates import params_for
+
+    batch = 128
+    rng = np.random.default_rng(1)
+    payloads = jnp.asarray(rng.integers(
+        0, 256, size=(batch, length), dtype=np.uint8))
+    fn = jax.jit(functools.partial(tx.build_frame_p, rate=rate))
+    out = fn(payloads)
+    jax.block_until_ready(out)
+    # serialize reps through a payload-dependent no-op
+    chain = jax.jit(lambda p, o: p ^ (o.sum() > jnp.inf).astype(p.dtype))
+    jax.block_until_ready(chain(payloads, out[0]))
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(chain(payloads, out[0]))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    n_samples = batch * params_for(rate).frame_samples(length)
+    return n_samples / dt
+
+
+def run_stream(stream_planar, expected, chunk_feed=4096, **chain_kwargs):
+    """Feed a planar dense stream through a ReceiverChain in chunk_feed
+    pieces; return samples/s (second call of each config is warm)."""
     from fun_ofdm_tpu.runtime.chain import ReceiverChain
 
-    sc_re, sc_im = s_re[0], s_im[0]
+    sc_re, sc_im = stream_planar
+    chain = ReceiverChain(**chain_kwargs)
+    t0 = time.perf_counter()
+    got = 0
+    for i in range(0, sc_re.size, chunk_feed):
+        got += len(chain.process_samples(
+            (sc_re[i:i + chunk_feed], sc_im[i:i + chunk_feed])))
+    got += len(chain.flush())
+    dt = time.perf_counter() - t0
+    if expected is not None:
+        assert got == expected, f"streaming decoded {got}/{expected}"
+    return sc_re.size / dt
 
-    def run_stream(chunk_size: int, warm: bool) -> float:
-        params = ChainParams(chunk_size=chunk_size)
-        chain = ReceiverChain(rates=(rate,), max_length=length,
-                              params=params)
-        t0 = time.perf_counter()
-        got = 0
-        for i in range(0, sc_re.size, chunk_size):
-            got += len(chain.process_samples(
-                (sc_re[i:i + chunk_size], sc_im[i:i + chunk_size])))
-        got += len(chain.flush())
-        dt = time.perf_counter() - t0
-        if not warm:
-            assert got == frames_per_channel, f"streaming decoded {got}"
-        return sc_re.size / dt
 
-    # reference-parity chunking (NUM_RX_SAMPLES=4096, receiver.h:16) and a
-    # TPU-tuned operating point (larger strides amortize the per-window
-    # host<->device round trip; the 4096 choice is a CPU-era constant)
-    run_stream(4096, warm=True)     # compile
-    streaming_sps = run_stream(4096, warm=False)
-    run_stream(65536, warm=True)    # compile
-    streaming_tuned_sps = run_stream(65536, warm=False)
+def build_mixed_rate_stream(jax, jnp, tx, length, target_samples):
+    """Dense stream cycling through ALL 11 rates (1500-byte frames,
+    64-sample guards), tiled to ~target_samples."""
+    from fun_ofdm_tpu.rates import ALL_RATES
+
+    rng = np.random.default_rng(2)
+    pieces_re, pieces_im = [], []
+    n_unit = 0
+    per_rate_payload = {}
+    for r in ALL_RATES:
+        payload = rng.integers(0, 256, size=(1, length), dtype=np.uint8)
+        per_rate_payload[r] = payload
+        fre, fim = tx.build_frame_p(jnp.asarray(payload), r)
+        fre = np.asarray(fre)[0].astype(np.float32)
+        fim = np.asarray(fim)[0].astype(np.float32)
+        gap = np.zeros(64, np.float32)
+        pieces_re += [fre, gap]
+        pieces_im += [fim, gap]
+        n_unit += fre.size + 64
+    unit_re = np.concatenate(pieces_re)
+    unit_im = np.concatenate(pieces_im)
+    tiles = max(1, target_samples // n_unit)
+    return (np.tile(unit_re, tiles), np.tile(unit_im, tiles)), \
+        tiles * len(ALL_RATES)
+
+
+def main() -> None:
+    from fun_ofdm_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache(CACHE_DIR)
+
+    import jax
+    import jax.numpy as jnp
+
+    from fun_ofdm_tpu.config import ChainParams
+    from fun_ofdm_tpu.models import frontend, tx
+    from fun_ofdm_tpu.rates import ALL_RATES, Rate
+
+    rate = Rate.RATE_3_4_QAM16
+    length = 1500
+
+    capture_sps, payload_mbps, chan0 = bench_capture(
+        jax, jnp, frontend, tx, rate, length)
+    tx_sps = bench_tx(jax, jnp, tx, rate, length)
+
+    # --- streaming: single-rate dense stream, ~4M samples ----------------
+    tiles = 8
+    s_re = np.tile(chan0[0], tiles)
+    s_im = np.tile(chan0[1], tiles)
+    n_frames = 8 * tiles
+
+    # reference-parity: float32 samples, 4096-sample chunks
+    # (NUM_RX_SAMPLES=4096, receiver.h:16); superstep auto (~1M samples)
+    parity_kwargs = dict(rates=(rate,), max_length=length,
+                         params=ChainParams())
+    run_stream((s_re[:1 << 21], s_im[:1 << 21]), None, **parity_kwargs)
+    streaming_sps = run_stream((s_re, s_im), n_frames, **parity_kwargs)
+
+    # TPU-tuned: int16 ingest (UHD sc16 radio wire format) + 2M superstep
+    tuned_kwargs = dict(rates=(rate,), max_length=length,
+                        params=ChainParams(strides_per_step=512),
+                        ingest_dtype="int16")
+    run_stream((s_re[:1 << 21], s_im[:1 << 21]), None, **tuned_kwargs)
+    tuned_sps = run_stream((s_re, s_im), n_frames, **tuned_kwargs)
+
+    # --- streaming all-rates (the Receiver default config) ---------------
+    mixed, n_mixed = build_mixed_rate_stream(
+        jax, jnp, tx, length, target_samples=4 << 20)
+    allrates_kwargs = dict(rates=ALL_RATES, max_length=length,
+                           params=ChainParams(strides_per_step=512),
+                           ingest_dtype="int16")
+    run_stream((mixed[0][:1 << 21], mixed[1][:1 << 21]), None,
+               **allrates_kwargs)
+    allrates_sps = run_stream(mixed, n_mixed, **allrates_kwargs)
 
     print(json.dumps({
         "metric": "dense_rx_throughput",
-        "value": samples_per_sec,
+        "value": capture_sps,
         "unit": "samples/s",
-        "vs_baseline": samples_per_sec / REFERENCE_SAMPLES_PER_SEC,
+        "vs_baseline": capture_sps / REFERENCE_SAMPLES_PER_SEC,
         "streaming_samples_per_sec": streaming_sps,
         "streaming_vs_baseline": streaming_sps / REFERENCE_SAMPLES_PER_SEC,
-        "streaming_tuned_samples_per_sec": streaming_tuned_sps,
+        "streaming_tuned_samples_per_sec": tuned_sps,
         "streaming_tuned_vs_baseline":
-            streaming_tuned_sps / REFERENCE_SAMPLES_PER_SEC,
+            tuned_sps / REFERENCE_SAMPLES_PER_SEC,
+        "streaming_allrates_samples_per_sec": allrates_sps,
+        "streaming_allrates_vs_baseline":
+            allrates_sps / REFERENCE_SAMPLES_PER_SEC,
+        "tx_samples_per_sec": tx_sps,
+        "tx_vs_baseline": tx_sps / REFERENCE_SAMPLES_PER_SEC,
         "decoded_payload_mbps": payload_mbps,
     }))
 

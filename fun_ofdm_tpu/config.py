@@ -26,12 +26,26 @@ class ChainParams:
                           LTS peaks (reference searches CARRYOVER_LENGTH -
                           LTS_LENGTH = 96 positions, timing_sync.cpp:75).
       chunk_size:         streaming chunk length (NUM_RX_SAMPLES,
-                          receiver.h:16).
-      max_frames_per_chunk: detection capacity per processed chunk in the
-                          streaming receiver (fixed shapes under jit).
+                          receiver.h:16). This is the frame-ownership and
+                          feed granularity; device work is batched into
+                          supersteps of strides_per_step chunks.
+      max_frames_per_chunk: detection capacity per chunk in the streaming
+                          receiver (fixed shapes under jit).
                           None (default) = auto-size from the chunk length
                           and the shortest decodable frame, so back-to-back
                           minimal frames can never exceed the slot count.
+      strides_per_step:   chunks batched into ONE device dispatch + ONE
+                          result fetch by the streaming receiver. The
+                          host<->device transport is latency-bound per
+                          transaction (~22 ms round-trip on a tunneled
+                          TPU; docs/NOTES_r3.md), so throughput scales
+                          with chunk_size * strides_per_step until
+                          ingest bandwidth caps it. None (default) =
+                          auto: ~2^20 samples per superstep on
+                          accelerator backends, 1 chunk on CPU (tests /
+                          latency-parity). Delivery latency grows with
+                          the superstep: chunk_size * strides_per_step
+                          samples of stream time.
     """
 
     plateau_threshold: float = 0.9
@@ -41,6 +55,7 @@ class ChainParams:
     lts_search: int = 96
     chunk_size: int = 4096
     max_frames_per_chunk: int | None = None
+    strides_per_step: int | None = None
 
 
 DEFAULT_PARAMS = ChainParams()

@@ -49,10 +49,22 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
             local_device_ids=local_device_ids)
     except (RuntimeError, ValueError) as e:
-        if "already" in str(e).lower():
+        msg = str(e).lower()
+        if "already" in msg:
             return
-        if coordinator_address is None and num_processes is None:
-            # single-process environment without a coordinator: fine
+        # Only treat "no distributed environment configured" as the
+        # single-process case. Any OTHER failure (bad coordinator env,
+        # network error) must raise: silently degrading to single-process
+        # would make global_mesh() span only local devices and a pod run
+        # would process a fraction of the data or hang in collectives
+        # (ADVICE r2 medium).
+        if (coordinator_address is None and num_processes is None
+                and ("environment" in msg or "coordinator" in msg
+                     or "not set" in msg or "unable to detect" in msg)):
+            import logging
+            logging.getLogger(__name__).info(
+                "jax.distributed not configured (%s); "
+                "running single-process", e)
             return
         raise
 
@@ -90,6 +102,11 @@ def local_capture_shape(mesh: Mesh, channels_global: int,
     """The (C_local, N_local) slab this process must supply to
     shard_host_capture for a (channels_global, n_global) capture."""
     n_chan, n_time = mesh.devices.shape
+    if channels_global % n_chan or n_global % n_time:
+        raise ValueError(
+            f"capture shape ({channels_global}, {n_global}) must divide "
+            f"the ({n_chan}, {n_time}) (channel, time) mesh evenly; pad "
+            f"the capture (ADVICE r2: silent misdivision corrupts slabs)")
     # per-process device grid: which mesh coordinates are local
     local = np.asarray([[d.process_index == jax.process_index()
                          for d in row] for row in mesh.devices])

@@ -1,31 +1,40 @@
-"""Streaming receiver chain: pipelined chunked RX over the jitted pipeline.
+"""Streaming receiver chain: superstep-pipelined chunked RX.
 
 TPU-native equivalent of the reference's receiver_chain runtime
 (src/receiver_chain.cpp:29-126): `process_samples(chunk)` accepts
 arbitrary-length sample runs and returns every CRC-valid payload whose
 frame completed. The reference overlaps its six block stages with one
 thread per block and a barrier per 4096-sample chunk; here the same
-overlap comes from XLA's async dispatch:
+overlap comes from XLA's async dispatch, and the CPU-era per-chunk cadence
+is replaced by *supersteps*:
 
-  * Each arriving stride of samples is shipped to the device ONCE and
-    appended to a device-resident rolling window (jitted concat) — the
-    overlap-save halo is re-used on device instead of re-uploaded
-    (round 1 shipped the full stride+halo window per stride: ~11x
-    redundant H2D with the all-rates halo).
-  * Stage dispatches are asynchronous and syncs are deferred behind a
-    small in-flight queue: while the host syncs window N's header results
-    and does packet bookkeeping, the device is already running window
-    N+1's detection pass (the reference's pipeline parallelism,
-    src/receiver_chain.cpp:58-95, recast as dispatch-ahead).
+  * The transport to a (tunneled) TPU is latency-bound per transaction
+    (~22 ms round trip regardless of size up to ~64 KB; docs/NOTES_r3.md),
+    so the chain batches K = strides_per_step chunks into ONE device
+    dispatch and ONE result fetch covering K * chunk_size samples. Frame
+    ownership stays per-chunk-exact; only the device cadence changes.
+  * The device keeps a rolling sample window (one H2D per superstep,
+    appended by the jitted step itself); the overlap-save halo is reused
+    on device instead of re-uploaded.
+  * Both pipeline stages run dispatch-ahead with their own in-flight
+    queues: header results (stage 1) and payload decodes (stage 2) are
+    fetched only once the queue exceeds pipeline_depth or the device has
+    already finished them, and every device->host block is prefetched
+    with copy_to_host_async at dispatch time (cold synchronous fetches
+    are pathological on this transport; docs/NOTES_r3.md).
 
-Two device passes per window (the reference's frame_decoder does the same
-two-phase header-then-payload walk, src/frame_decoder.cpp:45-91):
+Two device passes per superstep (the reference's frame_decoder does the
+same two-phase header-then-payload walk, src/frame_decoder.cpp:45-91):
   1. detection + SIGNAL header decode on the owned region (rate-independent);
   2. one batched payload decode per distinct rate seen, with per-frame
-     lengths from the headers (models/rx.decode_frame_dynamic_p).
+     lengths from the headers (models/rx.decode_frame_dynamic_p). Decode
+     batches are padded to a small set of fixed bucket sizes so the jit
+     cache stays bounded (a fresh shape per frame-count would recompile).
 
-Frames are delivered exactly once: a frame belongs to the window whose
-owned [0, stride) region contains its preamble start.
+Frames are delivered exactly once: a frame belongs to the superstep whose
+owned [0, step) region contains its preamble start; equal duplicate starts
+(a noise-fragmented plateau resolving to the same LTS pair twice) are
+deduplicated before decode.
 """
 
 from __future__ import annotations
@@ -48,10 +57,31 @@ DETECT_LEAD = 512
 #: reference MAX_FRAME_SIZE (src/ppdu.h:17)
 MAX_FRAME_SIZE = 2000
 
-#: pad per-window device->host result blocks up to this many bytes:
-#: small fetches are latency-pathological on remote transports (measured
-#: on the tunnel: <16 KB can cost 1000x a 64 KB fetch; docs/NOTES_r2.md)
+#: pad per-superstep device->host result blocks up to this many bytes:
+#: D2H latency is flat up to ~64 KB on the tunnel transport
+#: (docs/NOTES_r3.md), so padding small result blocks costs nothing and
+#: keeps the fetch path identical across supersteps
 FETCH_PAD_BYTES = 1 << 16
+
+#: auto superstep target on accelerator backends (samples per device
+#: dispatch; ~2x 4 MB planar f32 H2D, the transport's fast bulk path)
+AUTO_STEP_SAMPLES = 1 << 20
+
+#: payload-decode batch bucket sizes: jobs are padded up to one of these
+#: so at most len(DECODE_BUCKETS) shapes per rate ever compile
+DECODE_BUCKETS = (4, 16, 64, 256, 1024)
+
+#: host->device sample formats: (numpy dtype, quantization scale).
+#: float32 is bit-parity with the reference's fc64-derived pipeline;
+#: int16 is the USRP's over-the-wire sample format (UHD sc16 -
+#: the N210's ADC is 14-bit, so sc16 ingest is radio-exact) at half the
+#: H2D bytes; int8 (UHD sc8) halves it again but adds ~-35 dB
+#: quantization noise: fine through 16-QAM, marginal for 64-QAM.
+INGEST_FORMATS = {
+    "float32": (np.float32, 1.0),
+    "int16": (np.int16, 8192.0),
+    "int8": (np.int8, 32.0),
+}
 
 
 @dataclass(frozen=True)
@@ -75,6 +105,7 @@ class ChainStats:
     equivalent)."""
 
     samples_in: int = 0
+    #: device supersteps processed (strides_per_step chunks each)
     windows: int = 0
     headers_ok: int = 0
     crc_ok: int = 0
@@ -82,8 +113,10 @@ class ChainStats:
     unknown_rate: int = 0
     #: CRC-valid headers dropped because hdr_length > max_length
     length_overflow: int = 0
-    #: windows where every detection slot filled (possible missed frames)
+    #: supersteps where every detection slot filled (possible missed frames)
     detect_saturated: int = 0
+    #: duplicate equal frame starts removed before decode
+    dup_starts: int = 0
     #: wall-clock the host spent blocked on device results per stage (the
     #: analogue of the reference's per-block work() timing,
     #: src/receiver_chain.cpp:84-92); dispatch is async so this is sync
@@ -104,14 +137,18 @@ class ReceiverChain:
         rates can produce at max_length.
       max_length: largest payload length to decode (reference
         MAX_FRAME_SIZE, src/ppdu.h:17, is 2000; examples use 1500).
-      params: chain thresholds + chunk size (ChainParams).
+      params: chain thresholds + chunk size + superstep batching
+        (ChainParams).
       cfo_correct: enable the native-mode CFO estimation/correction
         (the reference's is dead code; see models/rx.estimate_cfo_p).
       verbose: print "Invalid CRC (length N)" to stderr on CRC failures,
         matching the reference's only runtime diagnostic (src/ppdu.cpp:276).
-      pipeline_depth: in-flight device windows before the host blocks on
-        the oldest (>=1; 1 = fully synchronous round-1 behavior). The
-        reference's analogue is its 6-stage chunk pipeline.
+      pipeline_depth: in-flight supersteps per stage before the host
+        blocks on the oldest (>=1; 1 = fully synchronous). The reference's
+        analogue is its 6-stage chunk pipeline.
+      ingest_dtype: host->device sample format: "float32" (reference
+        fc32/fc64 parity), "int16" (UHD sc16 radio wire format, half the
+        ingest bytes) or "int8" (UHD sc8, quarter). See INGEST_FORMATS.
 
     process_samples() accepts any-length complex or planar chunks, exactly
     like receiver_chain::process_samples (src/receiver_chain.cpp:106).
@@ -122,30 +159,43 @@ class ReceiverChain:
                  params: ChainParams = DEFAULT_PARAMS,
                  cfo_correct: bool = False,
                  verbose: bool = False,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 ingest_dtype: str = "float32"):
         if max_length > MAX_FRAME_SIZE:
             raise ValueError(f"max_length > MAX_FRAME_SIZE ({MAX_FRAME_SIZE})")
+        if ingest_dtype not in INGEST_FORMATS:
+            raise ValueError(f"ingest_dtype must be one of "
+                             f"{sorted(INGEST_FORMATS)}")
         self.rates = tuple(Rate(r) for r in rates)
         self.max_length = int(max_length)
         self.params = params
         self.cfo_correct = bool(cfo_correct)
+        self.ingest_dtype = ingest_dtype
         self.stride = params.chunk_size
+        k = params.strides_per_step
+        if k is None:
+            from ..utils.platform import default_platform
+            k = (1 if default_platform() == "cpu"
+                 else max(1, -(-AUTO_STEP_SAMPLES // self.stride)))
+        self.strides_per_step = max(1, int(k))
+        #: samples per device superstep (ownership region length)
+        self.step = self.stride * self.strides_per_step
         halo = max(params_for(r).frame_samples(max_length)
                    for r in self.rates)
-        self.window = self.stride + max(halo, DETECT_LEAD)
+        self.window = self.step + max(halo, DETECT_LEAD)
         self.verbose = bool(verbose)
         self.pipeline_depth = max(1, int(pipeline_depth))
         # Detection capacity: the reference has no cap (its detector tags
         # every plateau). Auto-size ours so even back-to-back minimal
-        # frames anywhere in the detect region [0, stride + DETECT_LEAD)
+        # frames anywhere in the detect region [0, step + DETECT_LEAD)
         # cannot exhaust the slots (frames in the lead halo consume slots
         # before the ownership filter).
+        min_frame = min(params_for(r).frame_samples(0) for r in self.rates)
         if params.max_frames_per_chunk is not None:
-            self.max_frames = int(params.max_frames_per_chunk)
+            self.max_frames = (int(params.max_frames_per_chunk)
+                               * self.strides_per_step)
         else:
-            min_frame = min(params_for(r).frame_samples(0)
-                            for r in self.rates)
-            self.max_frames = -(-(self.stride + DETECT_LEAD) // min_frame) + 1
+            self.max_frames = -(-(self.step + DETECT_LEAD) // min_frame) + 1
         self._valid_fields = {params_for(r).rate_field: r for r in self.rates}
         # second runs of any chain-using CLI/API start in seconds
         from ..utils.cache import enable_persistent_cache
@@ -153,11 +203,11 @@ class ReceiverChain:
         self._jit_cache: dict = {}
         self.stats = ChainStats()
 
-        # host side: slice arbitrary pushes into exact stride chunks
-        self._rechunk = native.Chunker(self.stride, self.stride)
+        # host side: slice arbitrary pushes into exact superstep chunks
+        self._rechunk = native.Chunker(self.step, self.step)
         # device side: rolling window state
         self._dev_win = None          # planar (window,) device arrays
-        self._rolls = 0               # stride chunks ingested (incl. pad)
+        self._rolls = 0               # supersteps ingested (incl. pad)
         self._t_real = 0              # real samples pushed
         # in-flight queues: headers awaiting sync, decodes awaiting sync
         self._hdr_q: collections.deque = collections.deque()
@@ -166,25 +216,28 @@ class ReceiverChain:
     # --- jitted device functions (built lazily, cached per chain) --------
 
     def _step_fn(self):
-        """One fused device call per stride: roll the device-resident
-        window by the incoming chunk AND run the detection+header pass on
-        the new window. Returns (new_window_re, new_window_im,
+        """One fused device call per superstep: roll the device-resident
+        window by the incoming samples AND run the detection+header pass
+        on the new window. Returns (new_window_re, new_window_im,
         header_block) where header_block is ONE flat int32 array — rows
         [starts, valid, rate_field, hdr_length, header_ok] padded to
         FETCH_PAD_BYTES. One dispatch and one device->host fetch per
-        window: both dispatches and small fetches are latency-bound per
-        transaction (1+ ms each locally, far worse on remote transports),
-        and this path runs once per stride forever."""
+        superstep: both dispatches and small fetches are latency-bound
+        per transaction, and this path runs once per superstep forever."""
         import jax
         import jax.numpy as jnp
         from ..models import frontend
 
         key = "step"
         if key not in self._jit_cache:
-            s = self.stride
-            ds = self.stride + DETECT_LEAD
+            s = self.step
+            ds = self.step + DETECT_LEAD
+            _, scale = INGEST_FORMATS[self.ingest_dtype]
 
             def fn(wr, wi, cr, ci):
+                if self.ingest_dtype != "float32":
+                    cr = cr.astype(jnp.float32) * np.float32(1.0 / scale)
+                    ci = ci.astype(jnp.float32) * np.float32(1.0 / scale)
                 wr = jnp.concatenate([wr[s:], cr])
                 wi = jnp.concatenate([wi[s:], ci])
                 h = frontend.decode_headers_p(
@@ -203,15 +256,17 @@ class ReceiverChain:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
-    def _decode_fn(self, rate: Rate):
-        """Payload pass returning ONE (k, max_length + 3) uint8 array per
-        window — payload bytes, then [crc_ok, len_lo, len_hi] (single
-        fetch, same rationale as _headers_fn)."""
+    def _decode_fn(self, rate: Rate, bucket: int):
+        """Payload pass returning ONE (bucket, max_length + 3) uint8 array
+        per job — payload bytes, then [crc_ok, len_lo, len_hi] (single
+        prefetched fetch, same rationale as _step_fn). One compiled
+        variant per (rate, bucket) — job batches are padded up to bucket
+        so frame-count never mints new shapes."""
         import jax
         import jax.numpy as jnp
         from ..models import rx
 
-        key = ("decode", rate)
+        key = ("decode", rate, bucket)
         if key not in self._jit_cache:
             def fn(wr, wi, starts):
                 out = jax.vmap(
@@ -238,7 +293,8 @@ class ReceiverChain:
 
         samples: 1-D complex array, or planar (re, im) float arrays.
         Packets may be returned on a later call than the one whose samples
-        completed them (pipelining); flush() drains everything.
+        completed them (pipelining + superstep batching); flush() drains
+        everything.
         """
         n = (samples[0].size if isinstance(samples, tuple)
              else np.asarray(samples).size)
@@ -254,13 +310,17 @@ class ReceiverChain:
 
     def flush(self) -> list[DecodedPacket]:
         """Drain buffered samples (zero-padding the tail) at stream end."""
+        if self._t_real == 0:
+            # nothing real ever arrived: don't force compilation of the
+            # step fn just to roll zeros (ADVICE r2)
+            return []
         tail = self._rechunk.pop(pad=True)
         if tail is not None:
             self._ingest(tail[0], tail[1])
-        # keep rolling zero strides until every real sample's owned
+        # keep rolling zero supersteps until every real sample's owned
         # window has been processed
-        zeros = np.zeros(self.stride, np.float32)
-        while self._rolls * self.stride - self.window + self.stride \
+        zeros = np.zeros(self.step, np.float32)
+        while self._rolls * self.step - self.window + self.step \
                 < self._t_real:
             self._ingest(zeros, zeros)
         return self._drain(force=True)
@@ -268,23 +328,28 @@ class ReceiverChain:
     # --- pipeline stages ---------------------------------------------------
 
     def _ingest(self, c_re: np.ndarray, c_im: np.ndarray) -> None:
-        """Ship one stride to the device and run the fused
+        """Ship one superstep of samples to the device and run the fused
         roll+detect+headers step asynchronously (one dispatch)."""
         import jax.numpy as jnp
 
         if self._dev_win is None:
             z = jnp.zeros(self.window, jnp.float32)
             self._dev_win = (z, z)
+        dtype, scale = INGEST_FORMATS[self.ingest_dtype]
+        if self.ingest_dtype != "float32":
+            lim = float(np.iinfo(dtype).max)
+            c_re = np.clip(np.rint(c_re * scale), -lim, lim).astype(dtype)
+            c_im = np.clip(np.rint(c_im * scale), -lim, lim).astype(dtype)
         wr, wi, hdr = self._step_fn()(
             self._dev_win[0], self._dev_win[1],
             jnp.asarray(c_re), jnp.asarray(c_im))
         self._dev_win = (wr, wi)
         self._rolls += 1
-        gpos = self._rolls * self.stride - self.window
-        if gpos + self.stride <= 0:
+        gpos = self._rolls * self.step - self.window
+        if gpos + self.step <= 0:
             return  # warm-up: owned region entirely before the stream
         # start the device->host copy now so the wire time overlaps the
-        # next windows' compute instead of serializing into the sync
+        # next supersteps' compute instead of serializing into the sync
         copy_async = getattr(hdr, "copy_to_host_async", None)
         if copy_async is not None:
             copy_async()
@@ -296,17 +361,86 @@ class ReceiverChain:
         is_ready = getattr(arr, "is_ready", None)
         return bool(is_ready()) if is_ready is not None else False
 
+    def _dispatch_decodes(self, gpos, win, starts, owned, fields,
+                          lengths) -> None:
+        """Queue batched payload decodes for one superstep's owned frames
+        (stage 2 dispatch; fetched by a later _drain)."""
+        import jax.numpy as jnp
+
+        jobs = []
+        for field_val in np.unique(fields[owned]):
+            rate = self._valid_fields.get(int(field_val))
+            if rate is None:  # valid-parity header, unconfigured rate
+                self.stats.unknown_rate += int(
+                    (owned & (fields == field_val)).sum())
+                continue
+            over = (owned & (fields == field_val)
+                    & (lengths > self.max_length))
+            if over.any():
+                self.stats.length_overflow += int(over.sum())
+            sel = (owned & (fields == field_val)
+                   & (lengths <= self.max_length))
+            if not sel.any():
+                continue
+            idx = np.nonzero(sel)[0]
+            # pad the job batch up to a fixed bucket so frame count never
+            # mints a fresh jit shape; overflow splits into max-bucket jobs
+            for lo in range(0, idx.size, DECODE_BUCKETS[-1]):
+                part = idx[lo:lo + DECODE_BUCKETS[-1]]
+                bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
+                padded = np.full(bucket, starts[part[0]], np.int32)
+                padded[:part.size] = starts[part]
+                out = self._decode_fn(rate, bucket)(
+                    win[0], win[1], jnp.asarray(padded))
+                copy_async = getattr(out, "copy_to_host_async", None)
+                if copy_async is not None:
+                    copy_async()
+                jobs.append((rate, part, out))
+        if jobs:
+            self._dec_q.append((gpos, starts, jobs))
+
+    def _collect_decodes(self, gpos, starts, jobs) -> list[DecodedPacket]:
+        """Sync one superstep's decode jobs into DecodedPackets."""
+        wpkts: list[DecodedPacket] = []
+        t1 = time.perf_counter()
+        for rate, idx, out in jobs:
+            row = self.max_length + 3
+            packed = np.asarray(out)[: idx.size * row].reshape(-1, row)
+            payloads = packed[:, :self.max_length]
+            crc_ok = packed[:, self.max_length].astype(bool)
+            hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
+                       | (packed[:, self.max_length + 2]
+                          .astype(np.int32) << 8))
+            for k in range(idx.size):
+                if not crc_ok[k]:
+                    # reference: report + drop, keep streaming
+                    # (ppdu.cpp:274-279)
+                    self.stats.crc_fail += 1
+                    if self.verbose:
+                        print(f"Invalid CRC (length {int(hdr_len[k])})",
+                              file=sys.stderr)
+                    continue
+                self.stats.crc_ok += 1
+                n = int(hdr_len[k])
+                wpkts.append(DecodedPacket(
+                    payload=payloads[k, :n].tobytes(),
+                    rate=rate, length=n,
+                    start=gpos + int(starts[idx[k]])))
+        self.stats.time_decode_s += time.perf_counter() - t1
+        wpkts.sort(key=lambda p: p.start)
+        return wpkts
+
     def _drain(self, force: bool) -> list[DecodedPacket]:
         """Sync finished stages past the pipeline depth; return packets.
 
-        Header results are synced when the queue exceeds pipeline_depth OR
-        the device has already produced them (opportunistic, keeps sparse
-        streams prompt); decode jobs were dispatched a drain earlier and
-        are always fully collected so packet delivery never starves behind
-        idle windows.
+        Stage 1 (headers) and stage 2 (payload decodes) each keep up to
+        pipeline_depth supersteps in flight; results are synced when a
+        queue exceeds its depth OR the device has already produced them
+        (opportunistic, keeps sparse streams prompt). A decode dispatched
+        while draining stage 1 is therefore fetched no earlier than the
+        NEXT drain unless it is already done — decode wire time overlaps
+        subsequent supersteps' compute.
         """
-        import jax.numpy as jnp
-
         keep = 0 if force else self.pipeline_depth
         while self._hdr_q and (len(self._hdr_q) > keep
                                or self._ready(self._hdr_q[0][2])):
@@ -321,70 +455,32 @@ class ReceiverChain:
             header_ok = h[4].astype(bool)
             if valid.all():
                 # every detection slot filled: frames beyond capacity in
-                # this window were silently missed (reference has no cap)
+                # this superstep were silently missed (reference has no cap)
                 self.stats.detect_saturated += 1
                 if self.verbose:
                     print(f"Detection saturated ({self.max_frames} slots)",
                           file=sys.stderr)
-            owned = header_ok & (starts >= 0) & (starts < self.stride) \
+            owned = header_ok & (starts >= 0) & (starts < self.step) \
                 & (gpos + starts >= 0)
+            if owned.any():
+                # dedup equal starts: a noise-fragmented plateau can emit
+                # two events resolving to the same LTS pair (ADVICE r2) —
+                # without this the same packet would be delivered twice
+                ow = np.nonzero(owned)[0]
+                _, first = np.unique(starts[ow], return_index=True)
+                if first.size != ow.size:
+                    self.stats.dup_starts += ow.size - first.size
+                    dup = np.ones(ow.size, bool)
+                    dup[first] = False
+                    owned[ow[dup]] = False
             if not owned.any():
                 continue
             self.stats.headers_ok += int(owned.sum())
-            jobs = []
-            for field_val in np.unique(fields[owned]):
-                rate = self._valid_fields.get(int(field_val))
-                if rate is None:  # valid-parity header, unconfigured rate
-                    self.stats.unknown_rate += int(
-                        (owned & (fields == field_val)).sum())
-                    continue
-                over = (owned & (fields == field_val)
-                        & (lengths > self.max_length))
-                if over.any():  # observable, unlike round 1 (ADVICE #5)
-                    self.stats.length_overflow += int(over.sum())
-                sel = (owned & (fields == field_val)
-                       & (lengths <= self.max_length))
-                if not sel.any():
-                    continue
-                idx = np.nonzero(sel)[0]
-                out = self._decode_fn(rate)(
-                    win[0], win[1], jnp.asarray(starts[idx], jnp.int32))
-                copy_async = getattr(out, "copy_to_host_async", None)
-                if copy_async is not None:
-                    copy_async()
-                jobs.append((rate, idx, out))
-            if jobs:
-                self._dec_q.append((gpos, starts, jobs))
+            self._dispatch_decodes(gpos, win, starts, owned, fields, lengths)
 
         packets: list[DecodedPacket] = []
-        while self._dec_q:
+        while self._dec_q and (len(self._dec_q) > keep
+                               or self._ready(self._dec_q[0][2][0][2])):
             gpos, starts, jobs = self._dec_q.popleft()
-            wpkts: list[DecodedPacket] = []
-            t1 = time.perf_counter()
-            for rate, idx, out in jobs:
-                row = self.max_length + 3
-                packed = np.asarray(out)[: idx.size * row].reshape(-1, row)
-                payloads = packed[:, :self.max_length]
-                crc_ok = packed[:, self.max_length].astype(bool)
-                hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
-                           | (packed[:, self.max_length + 2]
-                              .astype(np.int32) << 8))
-                for k in range(idx.size):
-                    if not crc_ok[k]:
-                        # reference: report + drop, keep streaming
-                        # (ppdu.cpp:274-279)
-                        self.stats.crc_fail += 1
-                        if self.verbose:
-                            print(f"Invalid CRC (length {int(hdr_len[k])})",
-                                  file=sys.stderr)
-                        continue
-                    self.stats.crc_ok += 1
-                    n = int(hdr_len[k])
-                    wpkts.append(DecodedPacket(
-                        payload=payloads[k, :n].tobytes(),
-                        rate=rate, length=n,
-                        start=gpos + int(starts[idx[k]])))
-            self.stats.time_decode_s += time.perf_counter() - t1
-            wpkts.sort(key=lambda p: p.start)
-            packets.extend(wpkts)
+            packets.extend(self._collect_decodes(gpos, starts, jobs))
         return packets

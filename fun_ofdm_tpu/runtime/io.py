@@ -104,6 +104,7 @@ class LoopbackRadio:
         self._lock = threading.Lock()
         self._tx_q = None
         self._tx_thread: Optional[threading.Thread] = None
+        self._closed = False
         self.stats = RadioStats()
 
     # --- TX side (reference usrp::send_burst / send_burst_sync,
@@ -144,6 +145,9 @@ class LoopbackRadio:
                     done.set()
 
     def _enqueue(self, samples, wait: bool) -> None:
+        if self._closed:
+            raise RuntimeError("LoopbackRadio is closed (ADVICE r2: "
+                               "post-close sends would block forever)")
         if self._tx_q is None:
             with self._lock:
                 if self._tx_q is None:
@@ -203,6 +207,8 @@ class LoopbackRadio:
 
     def wait_tx(self) -> None:
         """Block until every queued async burst is on the air."""
+        if self._closed:
+            return  # close() already drained the worker
         if self._tx_q is not None:
             self._enqueue((np.zeros(0, np.float32),
                            np.zeros(0, np.float32)), wait=True)
@@ -210,6 +216,7 @@ class LoopbackRadio:
     def close(self) -> None:
         # close the ring first so a TX worker blocked on a full ring
         # unblocks (closed pushes return early), then drain the worker
+        self._closed = True
         self._ring.close()
         if self._tx_thread is not None:
             self._tx_q.put(None)

@@ -43,6 +43,16 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         return path
     import jax
 
+    # XLA:CPU caches AOT executables keyed WITHOUT host machine features;
+    # replaying an entry compiled on a different host emits "could lead to
+    # SIGILL" warnings and is a latent crash (seen in MULTICHIP_r02). The
+    # CPU backend also compiles fast, so the cache only protects the
+    # accelerator path: skip it when computation lands on CPU (the
+    # multichip dryrun / virtual-device test rig).
+    from .platform import default_platform
+    if default_platform() == "cpu":
+        return None
+
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache everything, however small/fast - the win is aggregate startup

@@ -79,3 +79,40 @@ def test_sim_loopback_100_frames():
     assert crc_ok.sum() == 100, f"decoded {crc_ok.sum()}/100"
     dec = np.asarray(out["payload"])[crc_ok]
     assert (dec == payload[None, :]).all()
+
+
+def test_first_k_true_blocked_matches_onehot():
+    """The blocked two-level first-k (large k*n path) is exact vs the
+    one-hot MXU form, including: sparse events, events in adjacent
+    blocks, empty tails, and the k > count validity edge."""
+    from fun_ofdm_tpu.models.frontend import (_first_k_true,
+                                              _first_k_true_blocked)
+    rng = np.random.default_rng(11)
+    n = 1 << 16
+    for density in (0, 5, 200):
+        mask = np.zeros(n, bool)
+        if density:
+            mask[rng.choice(n, density, replace=False)] = True
+        mask[:3] = True  # block-edge events
+        for k in (4, 64, 300):
+            got_p, got_v = _first_k_true_blocked(jnp.asarray(mask), k)
+            # reference: plain numpy first-k
+            want = np.flatnonzero(mask)[:k]
+            got_p, got_v = np.asarray(got_p), np.asarray(got_v)
+            assert got_v.sum() == want.size
+            assert list(got_p[got_v]) == list(want)
+            assert (got_p[~got_v] == n).all()
+
+
+def test_first_k_true_blocked_caps_dense_block():
+    """>16 events inside one 512-sample block: the excess is dropped (the
+    documented capacity) but the valid flags still expose saturation via
+    the count mismatch the chain reports as detect_saturated."""
+    from fun_ofdm_tpu.models.frontend import _first_k_true_blocked
+    n = 4096
+    mask = np.zeros(n, bool)
+    mask[100:130] = True  # 30 events in one block, cap is 16
+    pos, valid = _first_k_true_blocked(jnp.asarray(mask), 64)
+    pos, valid = np.asarray(pos), np.asarray(valid)
+    kept = pos[pos < n]
+    assert list(kept) == list(range(100, 116))  # first 16 kept, in order

@@ -290,6 +290,79 @@ def test_chain_pipeline_depths_equivalent():
     assert [s for s, _ in results[0]] == starts
 
 
+def test_chain_superstep_boundaries_and_exactly_once():
+    """strides_per_step > 1 batches chunks into one device superstep;
+    frames on every chunk AND superstep boundary still arrive exactly
+    once (ownership stays per-superstep-exact)."""
+    rng = np.random.default_rng(8)
+    payload = rng.integers(0, 256, 40, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload), Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=4)  # step 4096
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=40,
+                          params=params)
+    assert chain.step == 4096
+    # starts at: chunk boundary, superstep boundary, just past one, interior
+    starts = [1024, 4096, 8200, 10000]
+    stream = np.zeros(16384, np.complex64)
+    for s in starts:
+        stream[s:s + frame.size] += frame
+    pkts = []
+    for i in range(0, stream.size, 700):  # feed in awkward chunk sizes
+        pkts += chain.process_samples(stream[i:i + 700])
+    pkts += chain.flush()
+    assert sorted(p.start for p in pkts) == starts
+    assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+@pytest.mark.parametrize("ingest", ["int16", "int8"])
+def test_chain_quantized_ingest(ingest):
+    """int16 (UHD sc16) and int8 (sc8) ingest decode clean loopback
+    frames end-to-end; QAM16 survives both quantizations at zero noise."""
+    rng = np.random.default_rng(9)
+    payload = rng.integers(0, 256, 100, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_3_4_QAM16))
+    stream = np.zeros(12000, np.complex64)
+    stream[300:300 + frame.size] = frame
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=100,
+                          ingest_dtype=ingest)
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(300, payload.tobytes())]
+
+
+def test_chain_decode_bucket_padding_many_frames():
+    """More frames than the smallest decode bucket in one superstep: the
+    job is padded to a larger bucket and every frame still decodes once
+    (bucket padding decodes duplicate starts that must not be emitted)."""
+    rng = np.random.default_rng(10)
+    payloads = [rng.integers(0, 256, 2, dtype=np.uint8) for _ in range(6)]
+    frames = [np.asarray(tx.build_frame(jnp.asarray(p), Rate.RATE_1_2_QPSK))
+              for p in payloads]
+    stream = np.zeros(8192, np.complex64)
+    pos, starts = 64, []
+    for f in frames:
+        stream[pos:pos + f.size] = f
+        starts.append(pos)
+        pos += f.size + 32
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=16)
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert [p.start for p in pkts] == starts
+    assert [p.payload for p in pkts] == [p.tobytes() for p in payloads]
+
+
+def test_chain_flush_on_virgin_chain_is_noop():
+    """flush() before any sample arrived must not force compilation or
+    roll zero windows (ADVICE r2)."""
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=16)
+    assert chain.flush() == []
+    assert chain.stats.windows == 0
+
+
+def test_chain_rejects_bad_ingest_dtype():
+    with pytest.raises(ValueError):
+        ReceiverChain(ingest_dtype="float64")
+
+
 def test_chain_rejects_truncated_frame():
     rng = np.random.default_rng(2)
     payload = rng.integers(0, 256, 80, dtype=np.uint8)
@@ -344,3 +417,28 @@ def test_file_sink_source_roundtrip(tmp_path):
     pkts += chain.flush()
     src.close()
     assert len(pkts) == 1 and pkts[0].payload == payload
+
+
+def test_loopback_post_close_send_raises():
+    """send after close() must fail fast, not block forever on a queue no
+    thread drains (ADVICE r2)."""
+    radio = LoopbackRadio(pace_idle=False)
+    radio.send_burst(np.ones(16, np.complex64))
+    radio.close()
+    with pytest.raises(RuntimeError):
+        radio.send_burst_sync(np.ones(16, np.complex64))
+    radio.wait_tx()  # no-op, must not hang
+
+
+def test_distributed_local_capture_shape_rejects_nondivisible():
+    """Non-divisible capture shapes raise instead of silently producing
+    wrong slab shapes (ADVICE r2)."""
+    import jax
+    from fun_ofdm_tpu.parallel import distributed
+    from fun_ofdm_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(jax.devices("cpu"), channel=2, time=4)
+    assert distributed.local_capture_shape(mesh, 4, 4096) == (4, 4096)
+    with pytest.raises(ValueError):
+        distributed.local_capture_shape(mesh, 3, 4096)
+    with pytest.raises(ValueError):
+        distributed.local_capture_shape(mesh, 4, 4097)
