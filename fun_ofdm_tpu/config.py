@@ -46,6 +46,15 @@ class ChainParams:
                           latency-parity). Delivery latency grows with
                           the superstep: chunk_size * strides_per_step
                           samples of stream time.
+      min_frame_samples:  shortest frame the detection capacity must
+                          accommodate. None (default) = the shortest
+                          frame any configured rate can produce (the
+                          exact no-silent-drop bound). A tuned pipeline
+                          that only carries, say, 1500-byte frames can
+                          raise this to shrink the per-superstep header
+                          capacity (SIGNAL decodes scale with slot
+                          count); overflow is still observable via
+                          stats.detect_saturated.
     """
 
     plateau_threshold: float = 0.9
@@ -56,6 +65,7 @@ class ChainParams:
     chunk_size: int = 4096
     max_frames_per_chunk: int | None = None
     strides_per_step: int | None = None
+    min_frame_samples: int | None = None
 
 
 DEFAULT_PARAMS = ChainParams()

@@ -49,10 +49,14 @@ def _branch_cols() -> np.ndarray:
     return np.concatenate([bt0, bt1]).reshape(64, 1).astype(np.int32)
 
 
-def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
+def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
+                metrics_ref):
     """Forward ACS over one (batch_tile, time_chunk) block.
 
     steps_ref: VMEM (1, B) int32 - per-lane trellis step counts (even).
+    init_ref: VMEM (1, B) int32 - 1 = exact init (state 0 biased, the
+        reference's frame start, viterbi.cpp:71-78); 0 = uniform init
+        (all 63: a block-overlap warm-up lane starting mid-trellis).
     bt_ref: VMEM (64, 1) int32 branch table [e0 x32; e1 x32].
     s0_ref/s1_ref: VMEM (TIME_CHUNK, B) int32 soft symbol pairs.
     dec_ref: VMEM out (TIME_CHUNK, 64, B) int8 decision bits.
@@ -63,7 +67,8 @@ def _acs_kernel(steps_ref, bt_ref, s0_ref, s1_ref, dec_ref, metrics_ref):
     @pl.when(t_chunk == 0)
     def _():
         row = jax.lax.broadcasted_iota(jnp.int32, metrics_ref.shape, 0)
-        metrics_ref[:] = jnp.where(row == 0, 0, 63)
+        exact = init_ref[0, :][None, :]
+        metrics_ref[:] = jnp.where((row == 0) & (exact == 1), 0, 63)
 
     e = bt_ref[:]                            # (64, 1): e0 rows then e1 rows
     e0 = e[:32]                              # (32, 1)
@@ -137,10 +142,13 @@ def _cdiv(a: int, b: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
 def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
-                  nbits: int, interpret: bool = False) -> jnp.ndarray:
+                  init_vec: jnp.ndarray, nbits: int,
+                  interpret: bool = False) -> jnp.ndarray:
     """Decode (B, T_pad) soft pairs -> (B, nbits) bits. B, T_pad pre-padded.
 
     steps_vec: (B,) int32 per-frame even trellis-step counts.
+    init_vec: (B,) int32 - 1 = exact frame-start metric init, 0 = uniform
+    (block-overlap warm-up lanes).
     """
     bsz, t_pad = s0.shape
     n_bt = bsz // BATCH_TILE
@@ -153,6 +161,8 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
         _acs_kernel,
         grid=(n_bt, n_tc),
         in_specs=[
+            pl.BlockSpec((1, BATCH_TILE), lambda b, t: (0, b),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BATCH_TILE), lambda b, t: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NUMSTATES, 1), lambda b, t: (0, 0),
@@ -168,7 +178,8 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((t_pad, NUMSTATES, bsz), jnp.int8),
         scratch_shapes=[pltpu.VMEM((NUMSTATES, BATCH_TILE), jnp.int32)],
         interpret=interpret,
-    )(steps_vec[None, :], jnp.asarray(_branch_cols()), s0, s1)
+    )(steps_vec[None, :], init_vec[None, :], jnp.asarray(_branch_cols()),
+      s0, s1)
 
     ks = pl.pallas_call(
         _chainback_kernel,
@@ -210,8 +221,9 @@ def _viterbi_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
 
     sv = jnp.zeros((b_pad,), jnp.int32)
     sv = sv.at[:bsz].set(steps_vec.reshape(-1))
+    iv = jnp.ones((b_pad,), jnp.int32)  # standalone frames: exact init
 
-    bits = _decode_tiles(s0, s1, sv, nbits, interpret=interpret)
+    bits = _decode_tiles(s0, s1, sv, iv, nbits, interpret=interpret)
     return bits[:bsz].reshape(*batch_shape, nbits)
 
 
@@ -240,6 +252,121 @@ def _decoder(nbits: int, interpret: bool):
         return f(soft, steps_vec), True
 
     return f
+
+
+def _blocked_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
+                         nbits: int, n_blocks: int, warmup: int,
+                         interpret: bool) -> jnp.ndarray:
+    """Time-parallel block-overlap decode (SURVEY.md section 7 hard part #1).
+
+    The trellis is split into n_blocks time blocks mapped onto the
+    kernel's 128-lane batch axis; each block decodes its span plus a
+    `warmup`-step lead-in (uniform metric init - the path metrics merge to
+    the true survivor within ~5K constraint lengths) and a `warmup`-step
+    tail (truncated chainback from an arbitrary state merges the same
+    way). Block 0 keeps the exact frame-start init; the last live block
+    inherits the exact end-of-frame chainback (zero-shifted state 0 at
+    its live edge, the reference's contract, viterbi.cpp:108-146). Single-
+    frame latency drops ~n_blocks-fold at 2*warmup/(span) extra compute.
+
+    NOT guaranteed bit-exact vs the sequential decoder: a merge failure
+    (probability ~2^-warmup-ish at working SNRs) can flip a block-edge
+    bit. tests/test_viterbi_pallas.py validates equality on clean and
+    noisy frames; the A/B harness (tools/viterbi_blocked_ab.py) measures
+    both latency and mismatch rate.
+    """
+    soft = jnp.asarray(soft, jnp.int32)
+    batch_shape = soft.shape[:-1]
+    flat = soft.reshape(-1, soft.shape[-1])
+    nf = flat.shape[0]
+    total_steps = nbits + (K - 1)
+    tb = _cdiv(total_steps, 2 * n_blocks) * 2     # even block span
+    wf = _cdiv(warmup, 2) * 2
+    wc = wf
+    win = wf + tb + wc                            # window trellis steps
+    nbits_win = wf + tb
+
+    # per-block window offsets into the trellis (block 0 starts exact)
+    offs = np.maximum(0, np.arange(n_blocks) * tb - wf).astype(np.int32)
+    flat_pad = jnp.pad(flat, ((0, 0), (0, 2 * win)))
+    wins = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(flat_pad, 2 * int(o), 2 * win, axis=1)
+        for o in offs], axis=1)                   # (F, n_blocks, 2*win)
+
+    steps_w = jnp.clip(steps_vec.reshape(-1)[:, None] - offs[None, :],
+                       0, win)                    # (F, n_blocks) even
+    init_w = jnp.zeros((nf, n_blocks), jnp.int32).at[:, 0].set(1)
+
+    # flatten (frame, block) onto the kernel batch axis
+    bsz = nf * n_blocks
+    b_pad = _cdiv(max(bsz, 1), BATCH_TILE) * BATCH_TILE
+    t_pad = _cdiv(win, TIME_CHUNK) * TIME_CHUNK
+    pairs = jnp.zeros((b_pad, 2 * t_pad), jnp.int32)
+    pairs = pairs.at[:bsz, : 2 * win].set(wins.reshape(bsz, 2 * win))
+    sv = jnp.zeros((b_pad,), jnp.int32).at[:bsz].set(steps_w.reshape(-1))
+    iv = jnp.zeros((b_pad,), jnp.int32).at[:bsz].set(init_w.reshape(-1))
+
+    bits = _decode_tiles(pairs[:, 0::2], pairs[:, 1::2], sv, iv,
+                         nbits_win, interpret=interpret)
+    bits = bits[:bsz].reshape(nf, n_blocks, nbits_win)
+
+    # splice: frame bit n lives in block b = n // tb at local index
+    # n - b*tb (+wf lead for blocks after the first)
+    n_idx = np.arange(nbits)
+    b_idx = (n_idx // tb).astype(np.int32)
+    m_idx = (n_idx - b_idx * tb + np.where(b_idx > 0, wf, 0)).astype(np.int32)
+    out = bits[:, b_idx, m_idx]
+    return out.reshape(*batch_shape, nbits)
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_decoder(nbits: int, n_blocks: int, warmup: int,
+                     interpret: bool):
+    """custom_vmap'd blocked decoder (same batch-collapse rule as
+    _decoder: every vmap level flattens into the kernel lane tile)."""
+    @jax.custom_batching.custom_vmap
+    def f(soft, steps_vec):
+        return _blocked_decode_impl(soft, steps_vec, nbits, n_blocks,
+                                    warmup, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, soft, steps_vec):
+        sb, vb = in_batched
+        if not sb:
+            soft = jnp.broadcast_to(soft[None], (axis_size,) + soft.shape)
+        if not vb:
+            steps_vec = jnp.broadcast_to(
+                steps_vec[None], (axis_size,) + steps_vec.shape)
+        return f(soft, steps_vec), True
+
+    return f
+
+
+def viterbi_decode_pallas_blocked(soft: jnp.ndarray, nbits: int,
+                                  n_blocks: int = 16, warmup: int = 128,
+                                  interpret: bool = False,
+                                  nbits_dynamic: jnp.ndarray | None = None
+                                  ) -> jnp.ndarray:
+    """Block-overlap time-parallel variant of viterbi_decode_pallas.
+
+    Same contract (soft (..., 2*(nbits+6)) -> (..., nbits) bits), but the
+    trellis time axis is decoded in n_blocks parallel lanes with
+    warmup-step overlap regions, cutting single-frame latency ~n_blocks x.
+    Use for small-batch / long-frame (the streaming chain's operating
+    point); the plain kernel is cheaper at large batch (no overlap
+    overhead). Not bit-exactness-guaranteed (see _blocked_decode_impl).
+    """
+    soft = jnp.asarray(soft, jnp.int32)
+    if nbits_dynamic is None:
+        nb = jnp.full(soft.shape[:-1], nbits, jnp.int32)
+    else:
+        nb = jnp.broadcast_to(jnp.asarray(nbits_dynamic, jnp.int32),
+                              soft.shape[:-1])
+    steps_vec = ((nb + (K - 1)) // 2) * 2
+    total_steps = nbits + (K - 1)
+    n_blocks = max(1, min(n_blocks, total_steps // max(2 * warmup, 2)))
+    return _blocked_decoder(nbits, n_blocks, warmup, interpret)(
+        soft, steps_vec)
 
 
 def viterbi_decode_pallas(soft: jnp.ndarray, nbits: int,

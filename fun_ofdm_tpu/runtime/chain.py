@@ -40,6 +40,7 @@ deduplicated before decode.
 from __future__ import annotations
 
 import collections
+import functools
 import sys
 import time
 from dataclasses import dataclass
@@ -82,6 +83,77 @@ INGEST_FORMATS = {
     "int16": (np.int16, 8192.0),
     "int8": (np.int8, 32.0),
 }
+
+
+@functools.lru_cache(maxsize=None)
+def _build_step_fn(step: int, max_frames: int, params: ChainParams,
+                   ingest_dtype: str):
+    """Fused superstep: roll the device window by the incoming samples AND
+    run the detection+header pass. Returns (window_re, window_im,
+    header_block) where header_block is ONE flat int32 array — rows
+    [starts, valid, rate_field, hdr_length, header_ok] padded to
+    FETCH_PAD_BYTES. One dispatch and one prefetched fetch per superstep.
+
+    Module-level + lru_cache so every ReceiverChain with the same config
+    shares one traced/compiled function (a per-instance closure would
+    re-trace per chain: ~1.5 s overhead per construction at 1M-sample
+    supersteps even with the persistent XLA cache hitting)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import frontend
+
+    ds = step + DETECT_LEAD
+    _, scale = INGEST_FORMATS[ingest_dtype]
+
+    def fn(wr, wi, cr, ci):
+        if ingest_dtype != "float32":
+            cr = cr.astype(jnp.float32) * np.float32(1.0 / scale)
+            ci = ci.astype(jnp.float32) * np.float32(1.0 / scale)
+        wr = jnp.concatenate([wr[step:], cr])
+        wi = jnp.concatenate([wi[step:], ci])
+        h = frontend.decode_headers_p(
+            (wr[:ds], wi[:ds]), max_frames=max_frames, params=params)
+        flat = jnp.stack([
+            h["starts"].astype(jnp.int32),
+            h["valid"].astype(jnp.int32),
+            h["rate_field"].astype(jnp.int32),
+            h["hdr_length"].astype(jnp.int32),
+            h["header_ok"].astype(jnp.int32),
+        ]).reshape(-1)
+        pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
+        return wr, wi, jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_decode_fn(rate: Rate, bucket: int, max_length: int,
+                     cfo_correct: bool):
+    """Payload pass returning ONE (bucket, max_length + 3) uint8 array per
+    job — payload bytes, then [crc_ok, len_lo, len_hi] (single prefetched
+    fetch, same rationale as _build_step_fn). One compiled variant per
+    (rate, bucket) — job batches are padded up to bucket so frame-count
+    never mints new shapes. Shared across chain instances (lru_cache)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import rx
+
+    def fn(wr, wi, starts):
+        out = jax.vmap(
+            lambda s: rx.decode_frame_dynamic_p(
+                (wr, wi), rate, max_length, start=s,
+                cfo_correct=cfo_correct))(starts)
+        ln = out["hdr_length"].astype(jnp.int32)
+        flat = jnp.concatenate([
+            out["payload"].astype(jnp.uint8),
+            out["crc_ok"][:, None].astype(jnp.uint8),
+            (ln[:, None] & 0xFF).astype(jnp.uint8),
+            ((ln[:, None] >> 8) & 0xFF).astype(jnp.uint8),
+        ], axis=1).reshape(-1)
+        pad = max(0, FETCH_PAD_BYTES - flat.shape[0])
+        return jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
+
+    return jax.jit(fn)
 
 
 @dataclass(frozen=True)
@@ -191,6 +263,10 @@ class ReceiverChain:
         # cannot exhaust the slots (frames in the lead halo consume slots
         # before the ownership filter).
         min_frame = min(params_for(r).frame_samples(0) for r in self.rates)
+        if params.min_frame_samples is not None:
+            # tuned capacity: the caller promises frames this short or
+            # shorter won't occur (detect_saturated flags violations)
+            min_frame = max(min_frame, int(params.min_frame_samples))
         if params.max_frames_per_chunk is not None:
             self.max_frames = (int(params.max_frames_per_chunk)
                                * self.strides_per_step)
@@ -200,7 +276,6 @@ class ReceiverChain:
         # second runs of any chain-using CLI/API start in seconds
         from ..utils.cache import enable_persistent_cache
         enable_persistent_cache()
-        self._jit_cache: dict = {}
         self.stats = ChainStats()
 
         # host side: slice arbitrary pushes into exact superstep chunks
@@ -213,91 +288,43 @@ class ReceiverChain:
         self._hdr_q: collections.deque = collections.deque()
         self._dec_q: collections.deque = collections.deque()
 
-    # --- jitted device functions (built lazily, cached per chain) --------
+    # --- jitted device functions (shared across instances) ---------------
 
     def _step_fn(self):
-        """One fused device call per superstep: roll the device-resident
-        window by the incoming samples AND run the detection+header pass
-        on the new window. Returns (new_window_re, new_window_im,
-        header_block) where header_block is ONE flat int32 array — rows
-        [starts, valid, rate_field, hdr_length, header_ok] padded to
-        FETCH_PAD_BYTES. One dispatch and one device->host fetch per
-        superstep: both dispatches and small fetches are latency-bound
-        per transaction, and this path runs once per superstep forever."""
-        import jax
-        import jax.numpy as jnp
-        from ..models import frontend
-
-        key = "step"
-        if key not in self._jit_cache:
-            s = self.step
-            ds = self.step + DETECT_LEAD
-            _, scale = INGEST_FORMATS[self.ingest_dtype]
-
-            def fn(wr, wi, cr, ci):
-                if self.ingest_dtype != "float32":
-                    cr = cr.astype(jnp.float32) * np.float32(1.0 / scale)
-                    ci = ci.astype(jnp.float32) * np.float32(1.0 / scale)
-                wr = jnp.concatenate([wr[s:], cr])
-                wi = jnp.concatenate([wi[s:], ci])
-                h = frontend.decode_headers_p(
-                    (wr[:ds], wi[:ds]), max_frames=self.max_frames,
-                    params=self.params)
-                flat = jnp.stack([
-                    h["starts"].astype(jnp.int32),
-                    h["valid"].astype(jnp.int32),
-                    h["rate_field"].astype(jnp.int32),
-                    h["hdr_length"].astype(jnp.int32),
-                    h["header_ok"].astype(jnp.int32),
-                ]).reshape(-1)
-                pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
-                return wr, wi, jnp.concatenate(
-                    [flat, jnp.zeros(pad, jnp.int32)])
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
+        return _build_step_fn(self.step, self.max_frames, self.params,
+                              self.ingest_dtype)
 
     def _decode_fn(self, rate: Rate, bucket: int):
-        """Payload pass returning ONE (bucket, max_length + 3) uint8 array
-        per job — payload bytes, then [crc_ok, len_lo, len_hi] (single
-        prefetched fetch, same rationale as _step_fn). One compiled
-        variant per (rate, bucket) — job batches are padded up to bucket
-        so frame-count never mints new shapes."""
-        import jax
-        import jax.numpy as jnp
-        from ..models import rx
-
-        key = ("decode", rate, bucket)
-        if key not in self._jit_cache:
-            def fn(wr, wi, starts):
-                out = jax.vmap(
-                    lambda s: rx.decode_frame_dynamic_p(
-                        (wr, wi), rate, self.max_length, start=s,
-                        cfo_correct=self.cfo_correct))(starts)
-                ln = out["hdr_length"].astype(jnp.int32)
-                flat = jnp.concatenate([
-                    out["payload"].astype(jnp.uint8),
-                    out["crc_ok"][:, None].astype(jnp.uint8),
-                    (ln[:, None] & 0xFF).astype(jnp.uint8),
-                    ((ln[:, None] >> 8) & 0xFF).astype(jnp.uint8),
-                ], axis=1).reshape(-1)
-                pad = max(0, FETCH_PAD_BYTES - flat.shape[0])
-                return jnp.concatenate(
-                    [flat, jnp.zeros(pad, jnp.uint8)])
-            self._jit_cache[key] = jax.jit(fn)
-        return self._jit_cache[key]
+        return _build_decode_fn(rate, bucket, self.max_length,
+                                self.cfo_correct)
 
     # --- streaming API ----------------------------------------------------
 
     def process_samples(self, samples) -> list[DecodedPacket]:
         """Feed a chunk of samples; return packets completed by it.
 
-        samples: 1-D complex array, or planar (re, im) float arrays.
-        Packets may be returned on a later call than the one whose samples
-        completed them (pipelining + superstep batching); flush() drains
-        everything.
+        samples: 1-D complex array, or planar (re, im) arrays. Planar
+        arrays whose dtype already matches ingest_dtype (a radio
+        delivering its native sc16/sc8 buffers) are shipped as-is — no
+        host-side conversion. Packets may be returned on a later call
+        than the one whose samples completed them (pipelining + superstep
+        batching); flush() drains everything.
         """
-        n = (samples[0].size if isinstance(samples, tuple)
-             else np.asarray(samples).size)
+        if isinstance(samples, tuple):
+            n = samples[0].size
+            np_dtype, _ = INGEST_FORMATS[self.ingest_dtype]
+            if (samples[0].dtype == np_dtype and np_dtype != np.float32
+                    and self._rechunk.available == 0
+                    and n % self.step == 0):
+                # pre-quantized fast path: exact supersteps, zero-copy
+                self.stats.samples_in += n
+                self._t_real += n
+                for i in range(0, n, self.step):
+                    self._ingest(samples[0][i:i + self.step],
+                                 samples[1][i:i + self.step])
+                return self._drain(force=False)
+        else:
+            n = np.asarray(samples).size
         self._rechunk.push(samples)
         self.stats.samples_in += n
         self._t_real += n
@@ -336,7 +363,7 @@ class ReceiverChain:
             z = jnp.zeros(self.window, jnp.float32)
             self._dev_win = (z, z)
         dtype, scale = INGEST_FORMATS[self.ingest_dtype]
-        if self.ingest_dtype != "float32":
+        if self.ingest_dtype != "float32" and c_re.dtype != dtype:
             lim = float(np.iinfo(dtype).max)
             c_re = np.clip(np.rint(c_re * scale), -lim, lim).astype(dtype)
             c_im = np.clip(np.rint(c_im * scale), -lim, lim).astype(dtype)

@@ -442,3 +442,35 @@ def test_distributed_local_capture_shape_rejects_nondivisible():
         distributed.local_capture_shape(mesh, 3, 4096)
     with pytest.raises(ValueError):
         distributed.local_capture_shape(mesh, 4, 4097)
+
+
+def test_chain_prequantized_fast_path():
+    """Planar int chunks matching ingest_dtype in whole supersteps skip
+    host conversion (radio-native sc16 buffers) and decode identically."""
+    rng = np.random.default_rng(12)
+    payload = rng.integers(0, 256, 60, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload), Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=4)  # step 4096
+    stream = np.zeros(16384, np.complex64)
+    for s in (500, 5000, 11111):
+        stream[s:s + frame.size] = frame
+    q_re = np.clip(np.rint(stream.real * 8192), -32767, 32767).astype(np.int16)
+    q_im = np.clip(np.rint(stream.imag * 8192), -32767, 32767).astype(np.int16)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=60,
+                          params=params, ingest_dtype="int16")
+    pkts = []
+    for i in range(0, q_re.size, 4096):  # exact supersteps
+        pkts += chain.process_samples((q_re[i:i + 4096], q_im[i:i + 4096]))
+    pkts += chain.flush()
+    assert [p.start for p in pkts] == [500, 5000, 11111]
+    assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+def test_chain_min_frame_samples_capacity():
+    """min_frame_samples shrinks detection capacity; violations surface
+    as detect_saturated instead of silent loss."""
+    params = ChainParams(min_frame_samples=4000)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=1500,
+                          params=params)
+    small = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=1500)
+    assert chain.max_frames < small.max_frames

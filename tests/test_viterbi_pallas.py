@@ -66,3 +66,45 @@ def test_dispatcher_selects_scan_on_cpu():
     np.testing.assert_array_equal(
         np.asarray(viterbi.viterbi_decode(soft, 100)),
         np.asarray(viterbi.viterbi_decode_scan(soft, 100)))
+
+
+@pytest.mark.parametrize("nbits,n_blocks", [(700, 4), (1200, 8)])
+def test_blocked_matches_scan_clean_and_noisy(nbits, n_blocks):
+    """Block-overlap decode == sequential decode on clean and moderately
+    noisy frames (survivor merge within the warmup overlap)."""
+    rng = np.random.default_rng(nbits)
+    bits = rng.integers(0, 2, size=(2, nbits + 6))
+    coded = np.asarray(convcode.conv_encode(jnp.asarray(bits)))
+    for noise in (0, 60):
+        soft = np.clip(coded * 255
+                       + rng.integers(-noise, noise + 1, coded.shape),
+                       0, 255)
+        s = jnp.asarray(soft)
+        ref = np.asarray(viterbi.viterbi_decode_scan(s, nbits))
+        got = np.asarray(viterbi_pallas.viterbi_decode_pallas_blocked(
+            s, nbits, n_blocks=n_blocks, warmup=96, interpret=True))
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_blocked_dynamic_lengths():
+    """Per-frame dynamic bit counts: frames shorter than the static bound
+    decode exactly (their final block chains back from the true frame
+    end, not the window end)."""
+    rng = np.random.default_rng(42)
+    nbits = 900
+    lens = np.asarray([900, 520, 244])
+    bits = rng.integers(0, 2, size=(3, nbits + 6))
+    # zero the tail beyond each frame's length so conv encoding matches a
+    # genuinely shorter frame followed by flush zeros
+    for i, ln in enumerate(lens):
+        bits[i, ln:] = 0
+    coded = np.asarray(convcode.conv_encode(jnp.asarray(bits)))
+    soft = np.clip(coded * 255 + rng.integers(-50, 51, coded.shape), 0, 255)
+    s = jnp.asarray(soft)
+    ref = np.asarray(viterbi.viterbi_decode_scan(
+        s, nbits, nbits_dynamic=jnp.asarray(lens)))
+    got = np.asarray(viterbi_pallas.viterbi_decode_pallas_blocked(
+        s, nbits, n_blocks=6, warmup=96, interpret=True,
+        nbits_dynamic=jnp.asarray(lens)))
+    for i, ln in enumerate(lens):
+        np.testing.assert_array_equal(ref[i, :ln], got[i, :ln])

@@ -34,7 +34,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def bench_devices(n_dev: int, rate, length: int, reps: int) -> float:
+def bench_devices(n_dev: int, rate, length: int, reps: int,
+                  axis: str = "time") -> float:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -44,14 +45,21 @@ def bench_devices(n_dev: int, rate, length: int, reps: int) -> float:
     from fun_ofdm_tpu.rates import params_for
 
     devices = jax.devices()[:n_dev]
-    # scale the time axis: one long capture split over devices
-    mesh = mesh_lib.make_mesh(devices, channel=1, time=n_dev)
+    # scale along one mesh axis: "time" = one long capture in overlap-save
+    # blocks (ppermute halo on the cut); "channel" = independent RF
+    # channels, no cross-device communication
+    if axis == "time":
+        mesh = mesh_lib.make_mesh(devices, channel=1, time=n_dev)
+    else:
+        mesh = mesh_lib.make_mesh(devices, channel=n_dev, time=1)
 
     frame_len = params_for(rate).frame_samples(length)
     frames_per_block = 8
-    channels = 16
+    # weak scaling: time axis grows the capture length, channel axis grows
+    # the independent channel count
+    channels = 16 * (n_dev if axis == "channel" else 1)
     block = frames_per_block * frame_len + 2048
-    n = block * n_dev
+    n = block * (n_dev if axis == "time" else 1)
 
     rng = np.random.default_rng(0)
     payloads = rng.integers(0, 256, size=(channels, length), dtype=np.uint8)
@@ -65,7 +73,8 @@ def bench_devices(n_dev: int, rate, length: int, reps: int) -> float:
         s_im[:, pos:pos + frame_len] = fim
         pos += frame_len
 
-    sharding = NamedSharding(mesh, P(None, "time"))
+    spec = P(None, "time") if axis == "time" else P("channel", None)
+    sharding = NamedSharding(mesh, spec)
     streams = (jax.device_put(jnp.asarray(s_re), sharding),
                jax.device_put(jnp.asarray(s_im), sharding))
 
@@ -96,6 +105,10 @@ def main() -> None:
     ap.add_argument("--rate", default="RATE_3_4_QAM16")
     ap.add_argument("--length", type=int, default=1500)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--axis", choices=("time", "channel"), default="time",
+                    help="mesh axis to scale (time = overlap-save blocks "
+                         "with halo exchange; channel = independent "
+                         "channels, no communication)")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host: jax.distributed.initialize() from env")
     args = ap.parse_args()
@@ -123,10 +136,12 @@ def main() -> None:
 
     base = None
     for n_dev in counts:
-        sps = bench_devices(n_dev, rate, args.length, args.reps)
+        sps = bench_devices(n_dev, rate, args.length, args.reps,
+                            axis=args.axis)
         if base is None:
             base = sps / n_dev
         rec = {
+            "axis": args.axis,
             "devices": n_dev,
             "samples_per_sec": sps,
             "per_chip": sps / n_dev,
