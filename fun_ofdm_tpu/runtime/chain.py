@@ -507,7 +507,12 @@ class ReceiverChain:
 
         packets: list[DecodedPacket] = []
         while self._dec_q and (len(self._dec_q) > keep
-                               or self._ready(self._dec_q[0][2][0][2])):
+                               or all(self._ready(o)
+                                      for _, _, o in self._dec_q[0][2])):
+            # opportunistic pop requires EVERY job of the superstep ready:
+            # np.asarray on an unfinished output serializes into the full
+            # device queue and hits the transport's cold-fetch pathology
+            # (measured 3.7 s/superstep on the all-rates config)
             gpos, starts, jobs = self._dec_q.popleft()
             packets.extend(self._collect_decodes(gpos, starts, jobs))
         return packets

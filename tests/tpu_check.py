@@ -9,6 +9,13 @@ checks on the real chip:
   1. Pallas Viterbi (compiled, not interpret) is bit-exact with the
      lax.scan reference decoder, noisy soft bits included.
   2. The full f32 detect+decode capture path round-trips a frame on TPU.
+  3. A LONG heavily-noisy frame (thousands of path-metric
+     renormalization events, the >210 subtract-min path) stays bit-exact
+     Pallas-vs-scan compiled.
+  4. Header-driven dynamic-length decode compiles and round-trips.
+  5. The streaming ReceiverChain delivers a frame straddling a superstep
+     boundary exactly once on the chip.
+  6. The block-overlap Viterbi matches the sequential kernel compiled.
 
 Exit codes: 0 = pass, 42 = no TPU available (caller skips).
 """
@@ -78,6 +85,73 @@ def main() -> int:
     dec = np.asarray(out["payload"])[k, :length].astype(np.uint8)
     assert np.array_equal(dec, payload), "payload mismatch on TPU"
     print("f32 capture path: round-trip ok")
+
+    # --- 3. long noisy frame: renorm path hot, still bit-exact ----------
+    nbits_long = 3600
+    bits_l = rng.integers(0, 2, size=(2, nbits_long), dtype=np.int32)
+    tail_l = np.concatenate([bits_l, np.zeros((2, 6), np.int32)], axis=1)
+    coded_l = np.asarray(convcode.conv_encode(jnp.asarray(tail_l)))
+    # heavy noise: branch metrics average well above zero, so the state-0
+    # metric crosses 210 every ~dozen steps -> hundreds of renorm events
+    soft_l = np.clip(coded_l * 255
+                     + rng.integers(-110, 110, coded_l.shape), 0, 255)
+    ref_l = np.asarray(viterbi.viterbi_decode(
+        jnp.asarray(soft_l), nbits=nbits_long))
+    got_l = np.asarray(jax.jit(
+        lambda s: viterbi_pallas.viterbi_decode_pallas(s, nbits=nbits_long)
+    )(jnp.asarray(soft_l)))
+    assert np.array_equal(ref_l, got_l), \
+        "Pallas != scan on long noisy frame (renorm path)"
+    print("long noisy frame (renorm-hot): bit-exact")
+
+    # --- 4. dynamic-length decode on chip -------------------------------
+    from fun_ofdm_tpu.models import rx
+
+    dyn_len = 77
+    dyn_payload = rng.integers(0, 256, size=dyn_len, dtype=np.uint8)
+    dfre, dfim = tx.build_frame_p(jnp.asarray(dyn_payload), rate)
+    dn = params_for(rate).frame_samples(128) + 64
+    d_re = np.zeros(dn, np.float32)
+    d_im = np.zeros(dn, np.float32)
+    d_re[16:16 + dfre.shape[-1]] = np.asarray(dfre, np.float32)
+    d_im[16:16 + dfim.shape[-1]] = np.asarray(dfim, np.float32)
+    dout = jax.jit(functools.partial(
+        rx.decode_frame_dynamic_p, rate=rate, max_length=128, start=16))(
+        (jnp.asarray(d_re), jnp.asarray(d_im)))
+    assert bool(np.asarray(dout["crc_ok"])), "dynamic decode CRC fail"
+    assert int(np.asarray(dout["hdr_length"])) == dyn_len
+    dec_d = np.asarray(dout["payload"])[:dyn_len].astype(np.uint8)
+    assert np.array_equal(dec_d, dyn_payload), "dynamic payload mismatch"
+    print("dynamic-length decode: ok")
+
+    # --- 5. streaming chain across a superstep boundary on chip ---------
+    from fun_ofdm_tpu.config import ChainParams
+    from fun_ofdm_tpu.runtime.chain import ReceiverChain
+
+    chain = ReceiverChain(
+        rates=(rate,), max_length=length,
+        params=ChainParams(chunk_size=4096, strides_per_step=2))
+    stream_n = 4 * chain.step
+    c_re = np.zeros(stream_n, np.float32)
+    c_im = np.zeros(stream_n, np.float32)
+    straddle = chain.step - frame_len // 2   # crosses the first cut
+    for pos in (600, straddle):
+        c_re[pos:pos + frame_len] = np.asarray(fre, np.float32)
+        c_im[pos:pos + frame_len] = np.asarray(fim, np.float32)
+    pkts = chain.process_samples((c_re, c_im)) + chain.flush()
+    assert [p.start for p in pkts] == [600, straddle], \
+        f"straddle delivery: {[p.start for p in pkts]}"
+    assert all(p.payload == payload.tobytes() for p in pkts)
+    print("streaming superstep straddle: exactly-once ok")
+
+    # --- 6. block-overlap Viterbi compiled vs sequential ----------------
+    got_b = np.asarray(jax.jit(
+        lambda s: viterbi_pallas.viterbi_decode_pallas_blocked(
+            s, nbits=nbits_long, n_blocks=8, warmup=128)
+    )(jnp.asarray(soft_l)))
+    mism = int((got_b != ref_l).sum())
+    assert mism == 0, f"blocked viterbi mismatches sequential: {mism} bits"
+    print("blocked viterbi compiled: exact on this input")
 
     print("TPU_CHECK OK")
     return 0
