@@ -23,8 +23,17 @@ class ChainParams:
                           (LTS_CORR_THRESHOLD, timing_sync.h:12).
       sts_length:         autocorrelation lag / window (STS period).
       lts_search:         samples after an STS end in which to search for
-                          LTS peaks (reference searches CARRYOVER_LENGTH -
-                          LTS_LENGTH = 96 positions, timing_sync.cpp:75).
+                          LTS peaks. The reference searches
+                          CARRYOVER_LENGTH - LTS_LENGTH = 96 positions
+                          (timing_sync.cpp:75), but that geometry misses
+                          any frame whose STS plateau persists to the
+                          final STS sample: the second LTS peak then sits
+                          exactly one sample past the window, and earlier
+                          noise-induced plateau breaks push it further
+                          out (measured 73/256 frames lost at 16 dB SNR,
+                          1/256 at 24 dB). Default 128 closes the boundary
+                          (1/256 at 16 dB, 0 above; docs/NOTES_r3.md);
+                          set 96 for reference-parity behavior.
       chunk_size:         streaming chunk length (NUM_RX_SAMPLES,
                           receiver.h:16). This is the frame-ownership and
                           feed granularity; device work is batched into
@@ -61,7 +70,7 @@ class ChainParams:
     sts_plateau_length: int = 16
     lts_corr_threshold: float = 0.9
     sts_length: int = 16
-    lts_search: int = 96
+    lts_search: int = 128
     chunk_size: int = 4096
     max_frames_per_chunk: int | None = None
     strides_per_step: int | None = None
