@@ -186,7 +186,8 @@ def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
     return decode_data_p((jnp.real(samples), jnp.imag(samples)), rate, length)
 
 
-def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int):
+def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int,
+                          viterbi_impl: str | None = None):
     """Decode frames of traced per-frame byte lengths (static rate).
 
     samples: planar (re, im) of (..., max_nsym*48) equalized data samples,
@@ -219,7 +220,8 @@ def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int):
     deinter = interleave.deinterleave(soft)
     depunct = puncture.depuncture(deinter, rate)
     decoded_bits = viterbi.viterbi_decode(
-        depunct, n_bits_max - TAIL_BITS, nbits_dynamic=nbits - TAIL_BITS)
+        depunct, n_bits_max - TAIL_BITS, nbits_dynamic=nbits - TAIL_BITS,
+        impl=viterbi_impl)
     pad = (-decoded_bits.shape[-1]) % 8
     if pad:
         decoded_bits = jnp.concatenate(

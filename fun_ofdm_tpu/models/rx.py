@@ -185,7 +185,8 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
 
 
 def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
-                           start=0, cfo_correct: bool = False):
+                           start=0, cfo_correct: bool = False,
+                           viterbi_impl: str | None = None):
     """Header-driven frame decode: payload length comes from the SIGNAL
     field at runtime (the reference receiver's contract - it knows nothing
     about a frame before decoding its header, src/frame_decoder.cpp:72-88).
@@ -221,7 +222,7 @@ def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
     rest = (data[0][..., 1:, :].reshape(*data[0].shape[:-2], -1),
             data[1][..., 1:, :].reshape(*data[1].shape[:-2], -1))
     payload, crc_ok, service = ppdu.decode_data_dynamic_p(
-        rest, rate, hdr_length, max_length)
+        rest, rate, hdr_length, max_length, viterbi_impl=viterbi_impl)
     return {
         "payload": payload,
         "crc_ok": crc_ok & header_ok & rate_match,

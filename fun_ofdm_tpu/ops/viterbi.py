@@ -128,8 +128,12 @@ def viterbi_decode(soft: jnp.ndarray, nbits: int,
 
     soft:  (..., 2*(nbits+6)) int32 soft coded bits (0..255; >=128 leans 1).
     nbits: number of data bits to output (static upper bound).
-    impl:  'scan' | 'pallas' | None (auto: Pallas kernel on TPU for
-           non-trivial trellises, lax.scan otherwise). Both are bit-exact.
+    impl:  'scan' | 'pallas' | 'pallas-blocked' | None (auto: Pallas
+           kernel on TPU for non-trivial trellises, lax.scan otherwise).
+           'scan' and 'pallas' are bit-exact; 'pallas-blocked' is the
+           block-overlap time-parallel kernel (~10x lower latency at
+           streaming batch sizes, survivor-merge based: empirically exact,
+           not guaranteed - see viterbi_pallas.viterbi_decode_pallas_blocked).
     nbits_dynamic: optional traced (...,) per-element data-bit counts
            <= nbits. Trellis steps past an element's count produce zero
            decisions, so the chainback stays in state 0 until the element's
@@ -139,7 +143,18 @@ def viterbi_decode(soft: jnp.ndarray, nbits: int,
     Returns (..., nbits) int32 decoded bits.
     """
     impl = impl or default_impl()
-    if impl == "pallas" and nbits >= PALLAS_MIN_NBITS:
+    if impl == "pallas-blocked" and nbits >= PALLAS_MIN_NBITS:
+        from . import viterbi_pallas
+
+        if default_impl() != "pallas":
+            # CPU/test rigs: the compiled-kernel fast path doesn't apply;
+            # fall back to the exact scan (blocked is a TPU latency
+            # optimization, its interpret mode is far slower than scan)
+            return viterbi_decode_scan(soft, nbits,
+                                       nbits_dynamic=nbits_dynamic)
+        return viterbi_pallas.viterbi_decode_pallas_blocked(
+            soft, nbits, nbits_dynamic=nbits_dynamic)
+    if impl in ("pallas", "pallas-blocked") and nbits >= PALLAS_MIN_NBITS:
         from . import viterbi_pallas
 
         return viterbi_pallas.viterbi_decode_pallas(

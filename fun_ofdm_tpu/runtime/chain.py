@@ -138,11 +138,17 @@ def _build_decode_fn(rate: Rate, bucket: int, max_length: int,
     import jax.numpy as jnp
     from ..models import rx
 
+    # small decode batches waste the sequential kernel's 128 lanes and
+    # serialize its ~12k-step time axis; the block-overlap variant maps
+    # trellis blocks onto the idle lanes (measured 10-12x at batch 1-8,
+    # ~5x at 64; docs/NOTES_r3.md). Large buckets fill the lanes anyway.
+    vimpl = "pallas-blocked" if bucket <= 64 else None
+
     def fn(wr, wi, starts):
         out = jax.vmap(
             lambda s: rx.decode_frame_dynamic_p(
                 (wr, wi), rate, max_length, start=s,
-                cfo_correct=cfo_correct))(starts)
+                cfo_correct=cfo_correct, viterbi_impl=vimpl))(starts)
         ln = out["hdr_length"].astype(jnp.int32)
         flat = jnp.concatenate([
             out["payload"].astype(jnp.uint8),
