@@ -155,7 +155,8 @@ def detect_frames_p(stream: CArr, max_frames: int,
 
 def receive_capture_p(stream: CArr, rate: Rate, length: int,
                       max_frames: int,
-                      params: ChainParams = DEFAULT_PARAMS):
+                      params: ChainParams = DEFAULT_PARAMS,
+                      viterbi_impl: str | None = None):
     """Detect and decode every frame of a known (rate, length) config.
 
     stream: planar (re, im) of an (n,) capture.
@@ -170,7 +171,8 @@ def receive_capture_p(stream: CArr, rate: Rate, length: int,
     fits = starts + frame_len <= n
     safe_start = jnp.where(valid & fits, starts, 0)
     out = jax.vmap(
-        lambda s: rx_model.decode_frame_p(stream, rate, length, start=s)
+        lambda s: rx_model.decode_frame_p(stream, rate, length, start=s,
+                                          viterbi_impl=viterbi_impl)
     )(safe_start)
     ok = valid & fits
     return {

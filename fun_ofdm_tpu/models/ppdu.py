@@ -146,7 +146,8 @@ def decode_header(samples: jnp.ndarray):
     return decode_header_p((jnp.real(samples), jnp.imag(samples)))
 
 
-def decode_data_p(samples, rate: Rate, length: int):
+def decode_data_p(samples, rate: Rate, length: int,
+                  viterbi_impl: str | None = None):
     """Decode planar (re, im) of (..., num_symbols*48) equalized samples.
 
     Returns (payload (..., length) int32, crc_ok (...,) bool, service).
@@ -159,7 +160,8 @@ def decode_data_p(samples, rate: Rate, length: int):
     soft = qam.demodulate_p(samples, rate)
     deinter = interleave.deinterleave(soft)
     depunct = puncture.depuncture(deinter, rate)
-    decoded_bits = viterbi.viterbi_decode(depunct, n_bits - TAIL_BITS)
+    decoded_bits = viterbi.viterbi_decode(depunct, n_bits - TAIL_BITS,
+                                          impl=viterbi_impl)
     pad = (-decoded_bits.shape[-1]) % 8
     if pad:
         decoded_bits = jnp.concatenate(

@@ -136,7 +136,8 @@ def equalize_and_track_p(sym_time: CArr, h_inv: CArr) -> CArr:
 
 
 def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
-                   cfo_correct: bool = False):
+                   cfo_correct: bool = False,
+                   viterbi_impl: str | None = None):
     """Full frame decode from a raw planar sample stream.
 
     samples: planar (re, im) of (..., n) containing a frame whose preamble
@@ -173,7 +174,8 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
     rate_field, hdr_length, header_ok = ppdu.decode_header_p(sig)
     rest = (data[0][..., 1:, :].reshape(*data[0].shape[:-2], -1),
             data[1][..., 1:, :].reshape(*data[1].shape[:-2], -1))
-    payload, crc_ok, service = ppdu.decode_data_p(rest, rate, length)
+    payload, crc_ok, service = ppdu.decode_data_p(
+        rest, rate, length, viterbi_impl=viterbi_impl)
     return {
         "payload": payload,
         "crc_ok": crc_ok,

@@ -16,6 +16,8 @@ broadcast over leading dims.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,18 +103,45 @@ def sts_end_events(ratio: jnp.ndarray, threshold: float,
 def leading_window_any(mask: jnp.ndarray, w: int) -> jnp.ndarray:
     """out[n] = any(mask[n : n+w]) (False past the end). Shape-preserving.
 
-    Unrolled shifted ORs: like the other correlator windows these fuse
-    into the surrounding elementwise graph, measured ~12% faster
-    end-to-end than a reduce_window max on TPU v5e (96.6 vs 84.5
-    Msample/s capture throughput; docs/NOTES_r2.md).
+    Integer cumsum difference: any(mask[n:n+w]) == S[n+w-1] - S[n-1] > 0
+    with S the inclusive count prefix — exact (integer arithmetic, no
+    float drift) and one log-depth scan instead of w shifted ORs (the
+    round-2 unrolled form was fine at w=32 but the detection-window fix
+    doubled w; docs/NOTES_r3.md).
     """
-    reach = mask
-    for s in range(1, w):
-        shifted = jnp.concatenate(
-            [mask[..., s:], jnp.zeros(mask.shape[:-1] + (s,), bool)],
-            axis=-1)
-        reach = reach | shifted
-    return reach
+    m = mask.astype(jnp.int32)
+    s = jnp.cumsum(m, axis=-1)
+    left = jnp.concatenate(
+        [jnp.zeros(mask.shape[:-1] + (1,), jnp.int32), s[..., :-1]],
+        axis=-1)                                  # S[n-1]
+    total = jnp.broadcast_to(s[..., -1:], s.shape)
+    right = jnp.concatenate(
+        [s[..., w - 1:], total[..., : w - 1]], axis=-1)  # S[n+w-1], clamped
+    return (right - left) > 0
+
+
+@functools.lru_cache(maxsize=1)
+def _lts_polyphase_taps():
+    """Static polyphase tap matrices for the MXU correlation.
+
+    A[c, r] = taps[c - r] for c >= r (row q's contribution to output
+    phase r), B[c, r] = taps[64 + c - r] for c < r (row q+1's); the
+    all-ones masks compute the window power with the same split."""
+    taps = np.asarray(pre.LTS_TIME_DOMAIN_CONJ)
+    c = np.arange(64)[:, None]
+    r = np.arange(64)[None, :]
+    lo = np.where(c >= r, c - r, 0)
+    hi = np.where(c < r, 64 + c - r, 0)
+    a = np.where(c >= r, taps[lo], 0)
+    b = np.where(c < r, taps[hi], 0)
+    return {
+        "a_re": a.real.astype(np.float32),
+        "a_im": a.imag.astype(np.float32),
+        "b_re": b.real.astype(np.float32),
+        "b_im": b.imag.astype(np.float32),
+        "ones_a": (c >= r).astype(np.float32),
+        "ones_b": (c < r).astype(np.float32),
+    }
 
 
 def lts_correlation(x: CArr) -> jnp.ndarray:
@@ -122,29 +151,45 @@ def lts_correlation(x: CArr) -> jnp.ndarray:
     (reference: timing_sync.cpp:77-84). Positions with p+63 beyond the end
     are zero. Returns (..., n) float.
 
-    64 unrolled shifted multiply-adds: XLA fuses them into one elementwise
-    pass, which measured ~2x faster end-to-end on TPU v5e than a
-    conv_general_dilated formulation (the conv materializes im2col
-    patches; A/B in the round-2 notes). Compile cost of the unroll is
-    absorbed by the persistent/remote compile cache.
+    Polyphase MXU formulation: with p = 64q + r, y[64q+r] splits into two
+    (n/64, 64) @ (64, 64) matmuls (row q against a lower-triangular tap
+    matrix, row q+1 against the complementary upper triangle) — the
+    correlation rides the systolic array instead of 64 unrolled VPU
+    multiply-adds, and the window power uses the same split with all-ones
+    taps. Replaces the round-2 unrolled form (the dominant cost of the
+    detect pass: 6.3 ms -> see docs/NOTES_r3.md); f32 accumulation at
+    Precision.HIGHEST keeps threshold comparisons stable.
     """
     re, im = x
     n = re.shape[-1]
-    taps = np.asarray(pre.LTS_TIME_DOMAIN_CONJ)
-    pad = jnp.zeros(re.shape[:-1] + (63,), re.dtype)
-    rep = jnp.concatenate([re, pad], axis=-1)
-    imp = jnp.concatenate([im, pad], axis=-1)
-    # 64 shifted scaled adds: O(n) memory, fully fusable elementwise work
-    c_re = jnp.zeros(re.shape, re.dtype)
-    c_im = jnp.zeros(re.shape, re.dtype)
-    power = jnp.zeros(re.shape, re.dtype)
-    for s in range(64):
-        sre = rep[..., s: s + n]
-        sim = imp[..., s: s + n]
-        tr, ti = float(taps[s].real), float(taps[s].imag)
-        c_re = c_re + sre * tr - sim * ti
-        c_im = c_im + sre * ti + sim * tr
-        power = power + sre * sre + sim * sim
+    t = _lts_polyphase_taps()
+    q = -(-n // 64)                 # rows covering every start position
+    padlen = (q + 1) * 64 - n       # +1 row so row q+1 always exists
+    pad = jnp.zeros(re.shape[:-1] + (padlen,), re.dtype)
+    xr = jnp.concatenate([re, pad], axis=-1).reshape(*re.shape[:-1], q + 1, 64)
+    xi = jnp.concatenate([im, pad], axis=-1).reshape(*re.shape[:-1], q + 1, 64)
+    xs = xr * xr + xi * xi
+
+    def mm(rows, m):
+        return jax.lax.dot_general(
+            rows, jnp.asarray(m),
+            (((rows.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    r0_r, r1_r = xr[..., :q, :], xr[..., 1:, :]
+    r0_i, r1_i = xi[..., :q, :], xi[..., 1:, :]
+    # y = sum x*t with t = conj(LTS): c_re = xr*tr - xi*ti, c_im = xr*ti + xi*tr
+    c_re = (mm(r0_r, t["a_re"]) + mm(r1_r, t["b_re"])
+            - mm(r0_i, t["a_im"]) - mm(r1_i, t["b_im"]))
+    c_im = (mm(r0_r, t["a_im"]) + mm(r1_r, t["b_im"])
+            + mm(r0_i, t["a_re"]) + mm(r1_i, t["b_re"]))
+    power = mm(xs[..., :q, :], t["ones_a"]) + mm(xs[..., 1:, :], t["ones_b"])
+
+    shape = re.shape[:-1] + (q * 64,)
+    c_re = c_re.reshape(shape)[..., :n]
+    c_im = c_im.reshape(shape)[..., :n]
+    power = power.reshape(shape)[..., :n]
     valid = jnp.arange(n) <= n - 64
     mag = jnp.sqrt(c_re * c_re + c_im * c_im)
     norm = jnp.where(power > 0, mag / jnp.where(power > 0, power, 1), 0.0)
