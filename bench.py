@@ -209,7 +209,7 @@ def main() -> None:
     # --- streaming: single-rate dense stream -----------------------------
     # chan0 unit = 8 x 7120-sample frames + 2048 pad = 59008 samples
     unit = chan0[0].size
-    tiles = 256                          # ~15.1 M samples, 2048 frames
+    tiles = 512                          # ~30.2 M samples, 4096 frames
     s_re = np.tile(chan0[0], tiles)
     s_im = np.tile(chan0[1], tiles)
     n_frames = 8 * tiles
@@ -242,7 +242,7 @@ def main() -> None:
                       ingest_dtype="int8", prequant=True)
     n_whole = s_re.size // (1024 * 4096) * (1024 * 4096)
     run_stream(warm, None, **sc8_kwargs)
-    sc8_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=2,
+    sc8_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=3,
                          **sc8_kwargs)
 
     # --- streaming all-rates (the Receiver default config) ---------------
