@@ -29,19 +29,33 @@ from .cplx import CArr
 def _trailing_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
     """y[n] = sum_{k=n-w+1..n} x[k], zeros before the start. Shape-preserving.
 
-    Unrolled shifted adds (exact per-window sums - no cumsum-difference
-    drift). Measured on TPU v5e this fuses into the surrounding
-    elementwise graph and beats a reduce_window formulation ~1.5x at
-    runtime (reduce_window materializes its operand; the A/B is in the
-    round-2 notes) - with the XLA remote/persistent compile cache the
-    extra HLO ops no longer matter for compile time.
+    Polyphase matmul (same structure as the LTS correlator below): with
+    n = w*q + r the window splits between row q (columns <= r) and row
+    q-1 (columns > r), i.e. one (n/w, w) @ (w, w) product against each
+    triangle of an all-ones matrix, on the MXU. Exact per-window sums (no
+    cumsum drift); f32 accumulation at Precision.HIGHEST. Replaces the
+    round-2 unrolled shifted adds (w full-array VPU passes;
+    docs/NOTES_r3.md).
     """
-    pad = jnp.zeros(x.shape[:-1] + (w - 1,), x.dtype)
-    xp = jnp.concatenate([pad, x], axis=-1)
-    acc = xp[..., w - 1:]
-    for s in range(1, w):
-        acc = acc + xp[..., w - 1 - s: xp.shape[-1] - s]
-    return acc
+    q = -(-x.shape[-1] // w)
+    padlen = q * w - x.shape[-1]
+    zrow = jnp.zeros(x.shape[:-1] + (w,), x.dtype)
+    pad = jnp.zeros(x.shape[:-1] + (padlen,), x.dtype)
+    rows = jnp.concatenate([zrow, x, pad], axis=-1).reshape(
+        *x.shape[:-1], q + 1, w)
+    c = np.arange(w)[:, None]
+    r = np.arange(w)[None, :]
+    tri_a = jnp.asarray((c <= r).astype(np.float32))   # row q
+    tri_b = jnp.asarray((c > r).astype(np.float32))    # row q-1
+
+    def mm(rr, m):
+        return jax.lax.dot_general(
+            rr, m, (((rr.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    y = mm(rows[..., 1:, :], tri_a) + mm(rows[..., :-1, :], tri_b)
+    return y.reshape(*x.shape[:-1], q * w)[..., : x.shape[-1]]
 
 
 def sts_autocorrelation(x: CArr, lag: int = 16):
