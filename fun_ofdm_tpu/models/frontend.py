@@ -104,9 +104,10 @@ def detect_frames_p(stream: CArr, max_frames: int,
       1. normalized STS autocorrelation ratio per sample;
       2. STS_END events = first sub-threshold sample after a >=16 plateau
          (frame_detector.cpp:65-82);
-      3. per event, LTS matched-filter peaks in the next 96 positions;
-         top-5 peaks searched for a pair exactly 64 apart
-         (timing_sync.cpp:74-117);
+      3. per event, LTS matched-filter peaks in the next params.lts_search
+         positions (reference: 96, timing_sync.cpp:74-86; our default 128
+         closes a window-boundary miss, see config.py); top-5 peaks
+         searched for a pair exactly 64 apart (timing_sync.cpp:92-117);
       4. frame start P = min(pair) - 32 - 160.
     """
     n = stream[0].shape[-1]
@@ -119,8 +120,8 @@ def detect_frames_p(stream: CArr, max_frames: int,
     # STS_END events per frame; the reference simply searches (and fails)
     # on each, but here every event consumes one of max_frames slots. Keep
     # only events from which an LTS peak pair 64 apart is reachable:
-    # pair positions (p, p+64) must both lie in [e, e+96), i.e. some
-    # p in [e, e+32) with peaks at p and p+64.
+    # pair positions (p, p+64) must both lie in [e, e+lts_search), i.e.
+    # some p in [e, e + lts_search - 64) with peaks at p and p+64.
     peak = lts_norm > params.lts_corr_threshold
     pair = peak & jnp.concatenate(
         [peak[..., 64:], jnp.zeros(peak.shape[:-1] + (64,), bool)], axis=-1)
@@ -129,11 +130,11 @@ def detect_frames_p(stream: CArr, max_frames: int,
 
     end_pos, end_valid = _first_k_true(ends, max_frames)
 
-    search = params.lts_search  # 96
+    search = params.lts_search
     lts_padded = jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)])
 
     def resolve_one(e, e_valid):
-        # norm values in [e, e+96), -inf outside threshold
+        # norm values in [e, e+lts_search), -inf outside threshold
         win = jax.lax.dynamic_slice(lts_padded, (e,), (search,))
         cand = jnp.where(win > params.lts_corr_threshold, win, -jnp.inf)
         vals, rel_pos = jax.lax.top_k(cand, 5)  # descending

@@ -84,6 +84,20 @@ INGEST_FORMATS = {
     "int8": (np.int8, 32.0),
 }
 
+#: canonical wire scale per integer sample dtype (inverse of INGEST_FORMATS)
+_WIRE_SCALE = {np.dtype(np.int16): 8192.0, np.dtype(np.int8): 32.0}
+
+
+def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
+    """Integer wire-format samples -> float32 at the dtype's canonical
+    scale; float arrays pass through. Used on the slow ingest path so that
+    _ingest's re-quantization is an identity instead of scaling raw
+    integer magnitudes twice (ADVICE r3)."""
+    scale = _WIRE_SCALE.get(arr.dtype)
+    if scale is None:
+        return arr
+    return arr.astype(np.float32) * np.float32(1.0 / scale)
+
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn(step: int, max_frames: int, params: ChainParams,
@@ -312,14 +326,18 @@ class ReceiverChain:
         samples: 1-D complex array, or planar (re, im) arrays. Planar
         arrays whose dtype already matches ingest_dtype (a radio
         delivering its native sc16/sc8 buffers) are shipped as-is — no
-        host-side conversion. Packets may be returned on a later call
+        host-side conversion — when they arrive in whole supersteps;
+        integer wire-format buffers of any other length are rescaled to
+        float32 once and rechunked (same decoded output, one extra host
+        copy). Packets may be returned on a later call
         than the one whose samples completed them (pipelining + superstep
         batching); flush() drains everything.
         """
         if isinstance(samples, tuple):
             n = samples[0].size
             np_dtype, _ = INGEST_FORMATS[self.ingest_dtype]
-            if (samples[0].dtype == np_dtype and np_dtype != np.float32
+            if (samples[0].dtype == np_dtype and samples[1].dtype == np_dtype
+                    and np_dtype != np.float32
                     and self._rechunk.available == 0
                     and n % self.step == 0):
                 # pre-quantized fast path: exact supersteps, zero-copy
@@ -329,6 +347,12 @@ class ReceiverChain:
                     self._ingest(samples[0][i:i + self.step],
                                  samples[1][i:i + self.step])
                 return self._drain(force=False)
+            # integer wire-format buffers that miss the fast path (length
+            # not a superstep multiple, residue buffered, or mixed dtypes)
+            # must be rescaled to float32 before the rechunker, or _ingest
+            # would quantize their raw magnitudes a second time (ADVICE r3)
+            samples = (_dequantize_wire(np.asarray(samples[0])),
+                       _dequantize_wire(np.asarray(samples[1])))
         else:
             n = np.asarray(samples).size
         self._rechunk.push(samples)

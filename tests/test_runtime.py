@@ -330,6 +330,56 @@ def test_chain_quantized_ingest(ingest):
     assert [(p.start, p.payload) for p in pkts] == [(300, payload.tobytes())]
 
 
+@pytest.mark.parametrize("ingest", ["int16", "int8"])
+def test_chain_quantized_ingest_unaligned_buffers(ingest):
+    """Pre-quantized planar buffers in arbitrary (non-superstep-multiple)
+    sizes must decode identically to the aligned fast path: the slow path
+    used to cast raw integer magnitudes to float32 and re-quantize them,
+    saturating the whole stream (ADVICE r3, high)."""
+    from fun_ofdm_tpu.runtime.chain import INGEST_FORMATS
+
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 256, 100, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_3_4_QAM16))
+    stream = np.zeros(12000, np.complex64)
+    stream[300:300 + frame.size] = frame
+    np_dtype, scale = INGEST_FORMATS[ingest]
+    lim = float(np.iinfo(np_dtype).max)
+    q_re = np.clip(np.rint(stream.real * scale), -lim, lim).astype(np_dtype)
+    q_im = np.clip(np.rint(stream.imag * scale), -lim, lim).astype(np_dtype)
+
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=100,
+                          ingest_dtype=ingest)
+    pkts = []
+    for i in range(0, stream.size, 700):  # never a superstep multiple
+        pkts += chain.process_samples((q_re[i:i + 700], q_im[i:i + 700]))
+    pkts += chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(300, payload.tobytes())]
+
+
+def test_chain_mixed_dtype_tuple_rescales_both_channels():
+    """A planar tuple with one integer and one float channel must not ship
+    the mismatched channel at the wrong scale (ADVICE r3)."""
+    from fun_ofdm_tpu.runtime.chain import INGEST_FORMATS
+
+    rng = np.random.default_rng(12)
+    payload = rng.integers(0, 256, 60, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    stream = np.zeros(10000, np.complex64)
+    stream[200:200 + frame.size] = frame
+    np_dtype, scale = INGEST_FORMATS["int16"]
+    lim = float(np.iinfo(np_dtype).max)
+    q_re = np.clip(np.rint(stream.real * scale), -lim, lim).astype(np_dtype)
+
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=60,
+                          ingest_dtype="int16")
+    pkts = chain.process_samples((q_re, stream.imag.astype(np.float32)))
+    pkts += chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(200, payload.tobytes())]
+
+
 def test_chain_decode_bucket_padding_many_frames():
     """More frames than the smallest decode bucket in one superstep: the
     job is padded to a larger bucket and every frame still decodes once
