@@ -35,7 +35,9 @@ LTS_CP_FROM_START = 160
 def _first_k_true(mask: jnp.ndarray, k: int):
     """Positions of the first k True values of a 1-D mask, in order.
 
-    Returns (pos (k,) int32 with n as fill, valid (k,) bool). Equivalent to
+    Returns (pos (k,) int32 with n as fill, valid (k,) bool, dropped ()
+    int32 — events lost to the blocked extractor's per-block cap; always 0
+    on the exact one-hot path). Equivalent to
     jnp.nonzero(mask, size=k, fill_value=n) but XLA lowers that to a slow
     sequential custom-call on TPU (~2 ms on a 236k stream); here slot
     positions come from one (k, n) one-hot-of-rank matmul on the MXU
@@ -45,7 +47,7 @@ def _first_k_true(mask: jnp.ndarray, k: int):
     over (measured 4.8 ms at n=1M, k=2200 on v5e vs OOM for the one-hot).
     """
     n = mask.shape[-1]
-    if k * n > (1 << 24):
+    if k * n > _BLOCKED_MIN_ELEMS:
         blocked = _first_k_true_blocked(mask, k)
         if blocked is not None:
             return blocked
@@ -57,20 +59,26 @@ def _first_k_true(mask: jnp.ndarray, k: int):
                   preferred_element_type=jnp.float32)
     count = jnp.sum(mask.astype(jnp.int32), axis=-1)
     valid = jnp.arange(k, dtype=jnp.int32) < count
-    return jnp.where(valid, pos.astype(jnp.int32), n), valid
+    return (jnp.where(valid, pos.astype(jnp.int32), n), valid,
+            jnp.zeros((), jnp.int32))
 
 
 #: blocked first-k: events kept per block (events are plateau *ends* gated
 #: by LTS-pair reachability, so >16 in any 512 samples means the input is
-#: noise; the drop is observable as pos-count mismatch => detect_saturated)
+#: noise). Events beyond the cap are dropped and COUNTED: the per-block
+#: overflow total is returned so the streaming chain can surface it
+#: (ChainStats.detect_dropped).
 _BLOCK = 512
 _BLOCK_CAP = 16
+#: k*n above which the blocked extractor takes over from the exact one-hot
+_BLOCKED_MIN_ELEMS = 1 << 24
 
 
 def _first_k_true_blocked(mask: jnp.ndarray, k: int):
     """Two-level first-k: per-512-block top-16 candidates, then a global
     top-k over the (n/32)-entry candidate list. Exact vs the one-hot form
-    whenever no 512-sample block holds >16 events. Returns None when the
+    whenever no 512-sample block holds >16 events; the number of events
+    lost to the cap is returned as `dropped`. Returns None when the
     candidate list cannot cover k (caller falls back to the one-hot)."""
     n = mask.shape[-1]
     nb = -(-n // _BLOCK)
@@ -87,18 +95,23 @@ def _first_k_true_blocked(mask: jnp.ndarray, k: int):
     ).reshape(-1)
     negk, _ = jax.lax.top_k(-gpos, k)             # first k candidates
     pos = -negk                                   # (k,) ascending, n = fill
-    count = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    count_b = jnp.sum(mb.astype(jnp.int32), axis=-1)      # per block
+    dropped = jnp.sum(jnp.maximum(count_b - _BLOCK_CAP, 0))
+    count = jnp.sum(count_b)
     valid = (jnp.arange(k, dtype=jnp.int32) < count) & (pos < n)
-    return jnp.where(valid, pos, n), valid
+    return jnp.where(valid, pos, n), valid, dropped
 
 
 def detect_frames_p(stream: CArr, max_frames: int,
-                    params: ChainParams = DEFAULT_PARAMS):
+                    params: ChainParams = DEFAULT_PARAMS,
+                    return_dropped: bool = False):
     """Find frame starts in a planar 1-D capture.
 
     stream: planar (re, im) of (n,) samples.
     Returns (starts (max_frames,) int32, valid (max_frames,) bool), ordered
-    by position; invalid slots have start = n (sentinel).
+    by position; invalid slots have start = n (sentinel). With
+    return_dropped=True, also returns a () int32 count of detection events
+    lost to the blocked extractor's per-block cap (0 on the exact path).
 
     Pipeline (mirroring the reference):
       1. normalized STS autocorrelation ratio per sample;
@@ -128,7 +141,7 @@ def detect_frames_p(stream: CArr, max_frames: int,
     reach = correlate.leading_window_any(pair, params.lts_search - 64)
     ends = ends & reach
 
-    end_pos, end_valid = _first_k_true(ends, max_frames)
+    end_pos, end_valid, dropped = _first_k_true(ends, max_frames)
 
     search = params.lts_search
     lts_padded = jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)])
@@ -151,6 +164,8 @@ def detect_frames_p(stream: CArr, max_frames: int,
         return jnp.where(ok, start, n).astype(jnp.int32), ok
 
     starts, valid = jax.vmap(resolve_one)(end_pos, end_valid)
+    if return_dropped:
+        return starts, valid, dropped
     return starts, valid
 
 
@@ -195,10 +210,13 @@ def decode_headers_p(stream: CArr, max_frames: int,
     (reference analogue: frame_decoder's header pass,
     src/frame_decoder.cpp:72-78).
 
-    Returns dict: starts, valid, rate_field, hdr_length, header_ok.
+    Returns dict: starts, valid, rate_field, hdr_length, header_ok,
+    detect_dropped (() int32: events lost to the blocked extractor's
+    per-block cap — surfaced by the chain as stats.detect_dropped).
     """
     n = stream[0].shape[-1]
-    starts, valid = detect_frames_p(stream, max_frames, params)
+    starts, valid, dropped = detect_frames_p(stream, max_frames, params,
+                                             return_dropped=True)
     # header needs preamble + SIGNAL symbol = 400 samples; pad so clamped
     # slices near the stream end stay aligned
     pad = jnp.zeros(stream[0].shape[:-1] + (400,), stream[0].dtype)
@@ -220,6 +238,7 @@ def decode_headers_p(stream: CArr, max_frames: int,
         "rate_field": rate_field,
         "hdr_length": hdr_length,
         "header_ok": header_ok & valid,
+        "detect_dropped": dropped,
     }
 
 

@@ -127,13 +127,17 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
         wi = jnp.concatenate([wi[step:], ci])
         h = frontend.decode_headers_p(
             (wr[:ds], wi[:ds]), max_frames=max_frames, params=params)
-        flat = jnp.stack([
+        # row 5: element 0 carries the device-side detection-event drop
+        # count (blocked extractor per-block cap; frontend._BLOCK_CAP)
+        drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
+            h["detect_dropped"])
+        flat = jnp.concatenate([jnp.stack([
             h["starts"].astype(jnp.int32),
             h["valid"].astype(jnp.int32),
             h["rate_field"].astype(jnp.int32),
             h["hdr_length"].astype(jnp.int32),
             h["header_ok"].astype(jnp.int32),
-        ]).reshape(-1)
+        ]), drop_row[None, :]]).reshape(-1)
         pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
         return wr, wi, jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
 
@@ -207,6 +211,10 @@ class ChainStats:
     length_overflow: int = 0
     #: supersteps where every detection slot filled (possible missed frames)
     detect_saturated: int = 0
+    #: detection events dropped device-side by the blocked extractor's
+    #: per-512-sample-block cap (frontend._BLOCK_CAP; only a noise burst
+    #: denser than 16 LTS-reachable events per 512 samples can trip it)
+    detect_dropped: int = 0
     #: duplicate equal frame starts removed before decode
     dup_starts: int = 0
     #: wall-clock the host spent blocked on device results per stage (the
@@ -503,13 +511,21 @@ class ReceiverChain:
                                or self._ready(self._hdr_q[0][2])):
             gpos, win, hdr = self._hdr_q.popleft()
             t0 = time.perf_counter()
-            h = np.asarray(hdr)[: 5 * self.max_frames].reshape(5, -1)
+            h = np.asarray(hdr)[: 6 * self.max_frames].reshape(6, -1)
             self.stats.time_headers_s += time.perf_counter() - t0
             starts = h[0]
             valid = h[1].astype(bool)
             fields = h[2]
             lengths = h[3]
             header_ok = h[4].astype(bool)
+            dropped = int(h[5, 0])
+            if dropped:
+                # blocked-extractor per-block cap overflowed: `dropped`
+                # detection events never reached the slot list
+                self.stats.detect_dropped += dropped
+                if self.verbose:
+                    print(f"Detection events dropped ({dropped})",
+                          file=sys.stderr)
             if valid.all():
                 # every detection slot filled: frames beyond capacity in
                 # this superstep were silently missed (reference has no cap)
