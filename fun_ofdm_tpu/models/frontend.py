@@ -282,6 +282,48 @@ def receive_capture_dynamic_p(stream: CArr, rate: Rate, max_length: int,
     }
 
 
+def receive_capture_anyrate_p(stream: CArr, rates: tuple[Rate, ...],
+                              max_length: int, max_frames: int,
+                              params: ChainParams = DEFAULT_PARAMS):
+    """Detect and decode frames of ANY configured rate, zero-config.
+
+    The fully dynamic receive: each detected frame's (rate, length) is
+    read from its SIGNAL header and its payload decoded through the
+    universal any-rate decoder (models/rx.decode_frame_anyrate_p) — the
+    reference receiver's exact contract (src/frame_decoder.cpp:72-88).
+    The stream is zero-padded by the slowest rate's max-frame extent so
+    near-end frames decode from static-shape slices.
+
+    Returns dict of per-slot arrays: starts, valid, payload
+    (max_frames, max_length), hdr_length, rate_field, rate_match,
+    crc_ok, header_ok.
+    """
+    rates = tuple(rates)
+    n = stream[0].shape[-1]
+    frame_len_max = max(params_for(r).frame_samples(max_length)
+                        for r in rates)
+    starts, valid = detect_frames_p(stream, max_frames, params)
+    pad = jnp.zeros(stream[0].shape[:-1] + (frame_len_max,),
+                    stream[0].dtype)
+    padded = (jnp.concatenate([stream[0], pad], axis=-1),
+              jnp.concatenate([stream[1], pad], axis=-1))
+    safe_start = jnp.where(valid, starts, 0)
+    out = jax.vmap(
+        lambda s: rx_model.decode_frame_anyrate_p(
+            padded, rates, max_length, start=s)
+    )(safe_start)
+    return {
+        "starts": starts,
+        "valid": valid,
+        "payload": out["payload"],
+        "hdr_length": out["hdr_length"],
+        "rate_field": out["rate_field"],
+        "rate_match": out["rate_match"],
+        "crc_ok": out["crc_ok"] & valid,
+        "header_ok": out["header_ok"] & valid,
+    }
+
+
 @functools.lru_cache(maxsize=None)
 def receive_capture_p_jit(rate: Rate, length: int, max_frames: int,
                           params: ChainParams = DEFAULT_PARAMS):

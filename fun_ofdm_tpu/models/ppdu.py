@@ -189,7 +189,8 @@ def decode_data(samples: jnp.ndarray, rate: Rate, length: int):
 
 
 def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int,
-                          viterbi_impl: str | None = None):
+                          viterbi_impl: str | None = None,
+                          return_exact: bool = False):
     """Decode frames of traced per-frame byte lengths (static rate).
 
     samples: planar (re, im) of (..., max_nsym*48) equalized data samples,
@@ -204,7 +205,9 @@ def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int,
     (zero decisions = reference tail semantics) and the CRC right-aligns.
 
     Returns (payload (..., max_length) int32 - first `lengths` bytes valid,
-    crc_ok (...,) bool, service (...,) int32).
+    crc_ok (...,) bool, service (...,) int32); with return_exact=True a
+    fourth (...,) bool - the Viterbi backend's bit-exactness flag
+    (ops/viterbi.viterbi_decode return_exact).
     (reference: src/ppdu.cpp:223-295 - where rate/length are runtime values)
     """
     rp = params_for(rate)
@@ -223,7 +226,9 @@ def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int,
     depunct = puncture.depuncture(deinter, rate)
     decoded_bits = viterbi.viterbi_decode(
         depunct, n_bits_max - TAIL_BITS, nbits_dynamic=nbits - TAIL_BITS,
-        impl=viterbi_impl)
+        impl=viterbi_impl, return_exact=return_exact)
+    if return_exact:
+        decoded_bits, exact_ok = decoded_bits
     pad = (-decoded_bits.shape[-1]) % 8
     if pad:
         decoded_bits = jnp.concatenate(
@@ -249,4 +254,138 @@ def decode_data_dynamic_p(samples, rate: Rate, lengths, max_length: int,
     calc = crc32.crc32_dynamic(
         descrambled[..., :SERVICE_BYTES + max_length],
         SERVICE_BYTES + lengths_c)
-    return payload, (given == calc) & in_range, service
+    crc_ok = (given == calc) & in_range
+    if return_exact:
+        return payload, crc_ok, service, exact_ok
+    return payload, crc_ok, service
+
+
+@functools.lru_cache(maxsize=None)
+def _anyrate_tables(rates: tuple[Rate, ...], max_length: int):
+    """Static per-rate gather tables for the universal any-rate decoder.
+
+    For each configured rate, the demap -> deinterleave -> depuncture
+    composition is a pure position permutation with erasure holes (every
+    stage is position-uniform; see decode_data_dynamic_p), so it folds
+    into ONE gather table: tab[r][m] = index into the flattened
+    per-sample 13-wide all-modulation soft vector
+    (ops/qam.demodulate_all_p) of depunctured coded bit m, or -1 for a
+    depuncture erasure / past-end slot (reference transform chain:
+    src/modulator.cpp:108-163, src/interleaver.cpp:15-37,
+    src/puncturer.cpp:98-117).
+
+    Returns (tabs (n_rates, 2*nbits_max) int32, dbps (n_rates,) int32,
+    rate_fields (n_rates,) int32, nbits_max, n_bytes_max).
+    """
+    from ..ops.qam import ALL_SOFT_OFFSET, ALL_SOFT_WIDTH
+
+    nbits_max = max(params_for(r).num_data_bits(max_length) for r in rates)
+    n_bytes_max = max(params_for(r).num_data_bytes(max_length)
+                      for r in rates)
+    n_coded_max = 2 * nbits_max
+    tabs = []
+    for r in rates:
+        rp = params_for(r)
+        n_coded = 2 * rp.num_data_bits(max_length)
+        pat = puncture._pattern(r)
+        m_idx = np.arange(n_coded)
+        if pat is None:
+            k_of_m = m_idx
+            valid = np.ones(n_coded, bool)
+        else:
+            group, keep = pat
+            g, j = m_idx // group, m_idx % group
+            valid = np.isin(j, keep)
+            k_of_m = g * len(keep) + np.searchsorted(keep, j)
+        kk = np.where(valid, k_of_m, 0)
+        # deinterleave: punctured bit k reads demodulated soft position
+        # 48*(k//48) + PERM[k%48] (fixed 48-chunk permutation)
+        soft_j = 48 * (kk // 48) + interleave.PERM[kk % 48]
+        # soft bit j of modulation bpsc lives at sample j//bpsc, lane
+        # ALL_SOFT_OFFSET[bpsc] + j%bpsc of the 13-wide vector
+        tab = (ALL_SOFT_WIDTH * (soft_j // rp.bpsc)
+               + ALL_SOFT_OFFSET[rp.bpsc] + soft_j % rp.bpsc)
+        full = np.full(n_coded_max, -1, np.int32)
+        full[:n_coded] = np.where(valid, tab, -1)
+        tabs.append(full)
+    return (np.stack(tabs).astype(np.int32),
+            np.array([params_for(r).dbps for r in rates], np.int32),
+            np.array([params_for(r).rate_field for r in rates], np.int32),
+            nbits_max, n_bytes_max)
+
+
+def decode_data_anyrate_p(samples, rates: tuple[Rate, ...], rate_idx,
+                          lengths, max_length: int,
+                          viterbi_impl: str | None = None):
+    """Universal payload decode: BOTH rate and length are traced values.
+
+    One jitted graph decodes a frame of any configured rate: every sample
+    is soft-demodulated under all four modulations (cheap, elementwise),
+    then one per-frame gather - through the rate's fused
+    demap/deinterleave/depuncture table - assembles the coded soft
+    stream, and a single dynamic-length Viterbi (data-bit count depends
+    only on length, not rate) + descramble + right-aligned CRC finish the
+    frame. This replaces up to 11 per-rate compiled variants (and up to
+    11 device dispatches per streaming superstep) with one
+    (reference: src/frame_decoder.cpp:72-88 decodes any-rate frames with
+    zero configuration; src/ppdu.cpp:223-295).
+
+    samples: planar (re, im) of (..., nsym_max*48) equalized data
+    samples, where nsym_max = max over rates of num_symbols(max_length).
+    rate_idx: (...,) traced index into `rates` (from the decoded SIGNAL
+    rate field; out-of-range = unknown rate, reported crc_ok=False).
+    lengths: (...,) traced payload byte counts.
+
+    Returns (payload (..., max_length), crc_ok, service, viterbi_exact).
+    """
+    tabs, dbps_tab, _, nbits_max, n_bytes_max = _anyrate_tables(
+        tuple(rates), max_length)
+
+    rate_idx = jnp.asarray(rate_idx, jnp.int32)
+    known = (rate_idx >= 0) & (rate_idx < len(rates))
+    ridx = jnp.clip(rate_idx, 0, len(rates) - 1)
+
+    lengths = jnp.asarray(lengths, jnp.int32)
+    in_range = (lengths >= 1) & (lengths <= max_length) & known
+    lengths_c = jnp.clip(lengths, 1, max_length)
+    frame_bits = 16 + 8 * (lengths_c + CRC_BYTES) + TAIL_BITS
+    dbps = jnp.asarray(dbps_tab)[ridx]
+    nsym = (frame_bits + dbps - 1) // dbps
+    nbits = nsym * dbps  # per-frame data bits incl in-buffer tail
+
+    soft_all = qam.demodulate_all_p(samples)       # (..., m, 13)
+    flat13 = soft_all.reshape(*soft_all.shape[:-2], -1)
+    tab = jnp.asarray(tabs)[ridx]                  # (..., 2*nbits_max)
+    idx = jnp.clip(tab, 0, flat13.shape[-1] - 1)
+    coded = jnp.where(tab >= 0,
+                      jnp.take_along_axis(flat13, idx, axis=-1),
+                      jnp.uint8(puncture.ERASURE)).astype(jnp.int32)
+
+    decoded_bits, exact_ok = viterbi.viterbi_decode(
+        coded, nbits_max - TAIL_BITS, nbits_dynamic=nbits - TAIL_BITS,
+        impl=viterbi_impl, return_exact=True)
+    pad = (-decoded_bits.shape[-1]) % 8
+    if pad:
+        decoded_bits = jnp.concatenate(
+            [decoded_bits,
+             jnp.zeros(decoded_bits.shape[:-1] + (pad,), jnp.int32)],
+            axis=-1)
+    decoded = bits_to_bytes(decoded_bits)
+    descrambled = scramble.descramble_bytes(decoded[..., :n_bytes_max])
+
+    service = (descrambled[..., 0].astype(jnp.int32)
+               | (descrambled[..., 1].astype(jnp.int32) << 8))
+    payload = descrambled[..., SERVICE_BYTES:SERVICE_BYTES + max_length]
+    off = (SERVICE_BYTES + lengths_c)[..., None] + jnp.arange(4)
+    flat = descrambled.reshape(-1, descrambled.shape[-1])
+    given_b = jnp.take_along_axis(
+        flat, jnp.clip(off.reshape(flat.shape[0], 4), 0, flat.shape[-1] - 1),
+        axis=-1).reshape(lengths_c.shape + (4,))
+    given = (given_b[..., 0].astype(jnp.uint32)
+             | (given_b[..., 1].astype(jnp.uint32) << 8)
+             | (given_b[..., 2].astype(jnp.uint32) << 16)
+             | (given_b[..., 3].astype(jnp.uint32) << 24))
+    calc = crc32.crc32_dynamic(
+        descrambled[..., :SERVICE_BYTES + max_length],
+        SERVICE_BYTES + lengths_c)
+    return payload, (given == calc) & in_range, service, exact_ok

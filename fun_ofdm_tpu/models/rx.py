@@ -200,7 +200,9 @@ def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
 
     Returns dict with payload (..., max_length) (first hdr_length bytes
     valid), crc_ok, header_ok, rate_field, hdr_length, service,
-    rate_match.
+    rate_match, viterbi_exact (False only when a block-overlap Viterbi
+    merge guard flagged the frame - the caller should re-decode it with
+    an exact impl; always True for exact impls).
     """
     rp = params_for(rate)
     nsym_max = rp.num_symbols(max_length)
@@ -223,8 +225,9 @@ def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
     rate_match = rate_field == rp.rate_field
     rest = (data[0][..., 1:, :].reshape(*data[0].shape[:-2], -1),
             data[1][..., 1:, :].reshape(*data[1].shape[:-2], -1))
-    payload, crc_ok, service = ppdu.decode_data_dynamic_p(
-        rest, rate, hdr_length, max_length, viterbi_impl=viterbi_impl)
+    payload, crc_ok, service, viterbi_exact = ppdu.decode_data_dynamic_p(
+        rest, rate, hdr_length, max_length, viterbi_impl=viterbi_impl,
+        return_exact=True)
     return {
         "payload": payload,
         "crc_ok": crc_ok & header_ok & rate_match,
@@ -233,6 +236,69 @@ def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
         "hdr_length": hdr_length,
         "service": service,
         "rate_match": rate_match,
+        "viterbi_exact": viterbi_exact,
+    }
+
+
+def decode_frame_anyrate_p(samples: CArr, rates: tuple[Rate, ...],
+                           max_length: int, start=0,
+                           cfo_correct: bool = False,
+                           viterbi_impl: str | None = None):
+    """Universal header-driven decode: BOTH rate and length come from the
+    frame's SIGNAL field at runtime.
+
+    One jitted graph decodes a frame of any rate in `rates` (the
+    reference's zero-configuration contract, src/frame_decoder.cpp:72-88):
+    symbols are extracted at the slowest configured rate's geometry, the
+    SIGNAL header selects the frame's rate index, and
+    ppdu.decode_data_anyrate_p finishes the payload through per-rate
+    fused gather tables + one dynamic-length Viterbi. samples must cover
+    the slowest rate's max_length frame extent from `start` (pad the
+    stream). A frame at an unconfigured rate reports its header with
+    crc_ok=False.
+
+    Returns dict with payload (..., max_length), crc_ok, header_ok,
+    rate_field, hdr_length, service, rate_match (True iff the header
+    rate is one of `rates`), viterbi_exact.
+    """
+    rates = tuple(rates)
+    nsym_max = max(params_for(r).num_symbols(max_length) for r in rates)
+    start = jnp.broadcast_to(jnp.asarray(start, jnp.int32),
+                             samples[0].shape[:-1])
+    lts, syms = extract_symbols_p(samples, start, nsym_max)
+    if cfo_correct:
+        w = estimate_cfo_p(lts)
+        lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
+        sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
+                   + 80 * np.arange(1 + nsym_max)[:, None]
+                   + np.arange(64)[None, :])
+        lts = _derotate_p(lts, w, lts_idx)
+        syms = _derotate_p(syms, w, sym_idx)
+    h_inv = channel_estimate_p(lts)
+    data = equalize_and_track_p(syms, h_inv)
+
+    sig = (data[0][..., 0, :], data[1][..., 0, :])
+    rate_field, hdr_length, header_ok = ppdu.decode_header_p(sig)
+    # header rate field -> index into the configured rates tuple
+    rate_idx = jnp.full_like(rate_field, -1)
+    for i, r in enumerate(rates):
+        rate_idx = jnp.where(rate_field == params_for(r).rate_field,
+                             i, rate_idx)
+    rate_match = rate_idx >= 0
+    rest = (data[0][..., 1:, :].reshape(*data[0].shape[:-2], -1),
+            data[1][..., 1:, :].reshape(*data[1].shape[:-2], -1))
+    payload, crc_ok, service, viterbi_exact = ppdu.decode_data_anyrate_p(
+        rest, rates, rate_idx, hdr_length, max_length,
+        viterbi_impl=viterbi_impl)
+    return {
+        "payload": payload,
+        "crc_ok": crc_ok & header_ok & rate_match,
+        "header_ok": header_ok,
+        "rate_field": rate_field,
+        "hdr_length": hdr_length,
+        "service": service,
+        "rate_match": rate_match,
+        "viterbi_exact": viterbi_exact,
     }
 
 

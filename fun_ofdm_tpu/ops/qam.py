@@ -123,3 +123,35 @@ def demodulate_p(symbols, rate: Rate) -> jnp.ndarray:
 def demodulate(symbols: jnp.ndarray, rate: Rate) -> jnp.ndarray:
     """Complex wrapper of demodulate_p (host/tests)."""
     return demodulate_p((jnp.real(symbols), jnp.imag(symbols)), rate)
+
+
+#: layout of demodulate_all_p's per-sample soft vector: bpsc -> offset of
+#: that modulation's soft bits within the 13-wide vector (bit j of sample
+#: m at modulation bpsc lives at 13*m + ALL_SOFT_OFFSET[bpsc] + j)
+ALL_SOFT_OFFSET = {1: 0, 2: 1, 4: 3, 6: 7}
+ALL_SOFT_WIDTH = 13
+
+
+def demodulate_all_p(symbols) -> jnp.ndarray:
+    """Soft-demodulate every sample under ALL four 802.11a modulations.
+
+    symbols: planar (re, im) of (..., m). Returns (..., m, 13) uint8 soft
+    bits (uint8 keeps the materialized all-modulation tensor 4x smaller
+    than int32 at large decode batches) - per sample:
+    [BPSK(1) | QPSK I,Q(2) | 16-QAM I0,I1,Q0,Q1(4) |
+    64-QAM I0..2,Q0..2(6)] (see ALL_SOFT_OFFSET). This is the
+    rate-independent half of the universal any-rate payload decoder
+    (models/ppdu.decode_data_anyrate_p): elementwise and cheap, it lets
+    one jitted graph decode frames of any rate by gathering the right
+    soft lanes per frame instead of compiling one graph per rate.
+    Per-modulation semantics identical to demodulate_p (reference:
+    src/modulator.cpp:108-163).
+    """
+    sym_re, sym_im = symbols
+    parts = [_axis_soft_decode(sym_re, 1, 1.0)]           # BPSK (re only)
+    for axis_bits in (1, 2, 3):                           # QPSK/16/64-QAM
+        parts.append(_axis_soft_decode(sym_re, axis_bits, 0.5))
+        parts.append(_axis_soft_decode(sym_im, axis_bits, 0.5))
+    # per-modulation order is [I bits..., Q bits...], matching
+    # demodulate_p's concatenate([re, im]) layout
+    return jnp.concatenate(parts, axis=-1).astype(jnp.uint8)

@@ -123,7 +123,8 @@ PALLAS_MIN_NBITS = 64
 
 def viterbi_decode(soft: jnp.ndarray, nbits: int,
                    impl: str | None = None,
-                   nbits_dynamic: jnp.ndarray | None = None) -> jnp.ndarray:
+                   nbits_dynamic: jnp.ndarray | None = None,
+                   return_exact: bool = False):
     """Decode soft symbols to bits (dispatches to the best backend impl).
 
     soft:  (..., 2*(nbits+6)) int32 soft coded bits (0..255; >=128 leans 1).
@@ -132,15 +133,20 @@ def viterbi_decode(soft: jnp.ndarray, nbits: int,
            kernel on TPU for non-trivial trellises, lax.scan otherwise).
            'scan' and 'pallas' are bit-exact; 'pallas-blocked' is the
            block-overlap time-parallel kernel (~10x lower latency at
-           streaming batch sizes, survivor-merge based: empirically exact,
-           not guaranteed - see viterbi_pallas.viterbi_decode_pallas_blocked).
+           streaming batch sizes). Its block splices rely on survivor
+           merges; pass return_exact=True to get the per-element
+           merge-agreement flag and re-decode flagged elements exactly
+           (see viterbi_pallas.viterbi_decode_pallas_blocked).
     nbits_dynamic: optional traced (...,) per-element data-bit counts
            <= nbits. Trellis steps past an element's count produce zero
            decisions, so the chainback stays in state 0 until the element's
            real trellis end - exactly the reference semantics for a frame
            of that length (viterbi.cpp:193-194). Output bits past an
            element's count are unspecified.
-    Returns (..., nbits) int32 decoded bits.
+    return_exact: also return a (...,) bool flag - True where the result
+           carries the bit-exactness guarantee (always True for
+           scan/pallas; the blocked kernel's merge guard otherwise).
+    Returns (..., nbits) int32 decoded bits (plus the flag if requested).
     """
     impl = impl or default_impl()
     if impl == "pallas-blocked" and nbits >= PALLAS_MIN_NBITS:
@@ -150,16 +156,24 @@ def viterbi_decode(soft: jnp.ndarray, nbits: int,
             # CPU/test rigs: the compiled-kernel fast path doesn't apply;
             # fall back to the exact scan (blocked is a TPU latency
             # optimization, its interpret mode is far slower than scan)
-            return viterbi_decode_scan(soft, nbits,
+            bits = viterbi_decode_scan(soft, nbits,
                                        nbits_dynamic=nbits_dynamic)
+            if return_exact:
+                return bits, jnp.ones(bits.shape[:-1], bool)
+            return bits
         return viterbi_pallas.viterbi_decode_pallas_blocked(
-            soft, nbits, nbits_dynamic=nbits_dynamic)
+            soft, nbits, nbits_dynamic=nbits_dynamic,
+            return_merge_ok=return_exact)
     if impl in ("pallas", "pallas-blocked") and nbits >= PALLAS_MIN_NBITS:
         from . import viterbi_pallas
 
-        return viterbi_pallas.viterbi_decode_pallas(
+        bits = viterbi_pallas.viterbi_decode_pallas(
             soft, nbits, nbits_dynamic=nbits_dynamic)
-    return viterbi_decode_scan(soft, nbits, nbits_dynamic=nbits_dynamic)
+    else:
+        bits = viterbi_decode_scan(soft, nbits, nbits_dynamic=nbits_dynamic)
+    if return_exact:
+        return bits, jnp.ones(bits.shape[:-1], bool)
+    return bits
 
 
 def viterbi_decode_scan(soft: jnp.ndarray, nbits: int,

@@ -40,13 +40,27 @@ from .viterbi import K, NUMSTATES, _branch_bits
 
 BATCH_TILE = 128   # frames per lane tile
 TIME_CHUNK = 256   # trellis steps per grid step
+_SUB = 8           # trellis steps per inner unrolled block (sublane tile)
+#: merge-guard margin: bits excluded from each end of the doubly-decoded
+#: cut region (each window's outermost bits are unreliable by design -
+#: see _blocked_decode_impl). ~justified by the typical survivor-merge
+#: distance of ~5 constraint lengths = 35 steps.
+_GUARD_TRIM = 32
+
+
+#: supported ACS metric carrier dtypes (python strings; see _acs_kernel)
+METRIC_DTYPES = ("int32", "int16", "uint8")
+
+#: production default ACS metric dtype; chosen by on-chip A/B
+#: (tools/viterbi_acs_ab.py, docs/NOTES_r4.md)
+DEFAULT_METRIC_DTYPE = "int32"
 
 
 @functools.lru_cache(maxsize=None)
-def _branch_cols() -> np.ndarray:
-    """(64, 1) int32: [e0 for 32 butterflies; e1 for 32 butterflies]."""
+def _branch_cols(dtype: str = "int32") -> np.ndarray:
+    """(64, 1): [e0 for 32 butterflies; e1 for 32 butterflies]."""
     bt0, bt1 = _branch_bits()
-    return np.concatenate([bt0, bt1]).reshape(64, 1).astype(np.int32)
+    return np.concatenate([bt0, bt1]).reshape(64, 1).astype(dtype)
 
 
 def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
@@ -57,18 +71,29 @@ def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
     init_ref: VMEM (1, B) int32 - 1 = exact init (state 0 biased, the
         reference's frame start, viterbi.cpp:71-78); 0 = uniform init
         (all 63: a block-overlap warm-up lane starting mid-trellis).
-    bt_ref: VMEM (64, 1) int32 branch table [e0 x32; e1 x32].
-    s0_ref/s1_ref: VMEM (TIME_CHUNK, B) int32 soft symbol pairs.
+    bt_ref: VMEM (64, 1) branch table [e0 x32; e1 x32], metric dtype.
+    s0_ref/s1_ref: VMEM (TIME_CHUNK, B) soft symbol pairs, metric dtype.
     dec_ref: VMEM out (TIME_CHUNK, 64, B) int8 decision bits.
-    metrics_ref: VMEM scratch (64, B) int32, persists across time chunks.
+    metrics_ref: VMEM scratch (64, B), persists across time chunks.
+
+    The metric dtype (int32 / int16 / uint8) is the precision the u8-
+    semantics arithmetic is carried in; narrower dtypes pack more lanes
+    per VPU register (the reference's own SSE kernel packs 16 u8 lanes
+    per 128-bit register, viterbi.cpp:208-459). All variants are
+    bit-exact: values never exceed u8 range by construction (saturation
+    at 255, renorm at 210), and the uint8 variant emulates the
+    saturating add / rounded average with wrap-detection, exactly like
+    _mm_adds_epu8 / _mm_avg_epu8.
     """
+    dt = metrics_ref.dtype
     t_chunk = pl.program_id(1)
 
     @pl.when(t_chunk == 0)
     def _():
         row = jax.lax.broadcasted_iota(jnp.int32, metrics_ref.shape, 0)
         exact = init_ref[0, :][None, :]
-        metrics_ref[:] = jnp.where((row == 0) & (exact == 1), 0, 63)
+        metrics_ref[:] = jnp.where((row == 0) & (exact == 1),
+                                   jnp.zeros((), dt), jnp.full((), 63, dt))
 
     e = bt_ref[:]                            # (64, 1): e0 rows then e1 rows
     e0 = e[:32]                              # (32, 1)
@@ -76,21 +101,36 @@ def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
     steps = steps_ref[0, :][None, :]         # (1, B)
     base = t_chunk * TIME_CHUNK
 
-    def body(i, _):
-        s0 = s0_ref[i, :][None, :]           # (1, B)
-        s1 = s1_ref[i, :][None, :]
-        a = jnp.where(e0 == 1, 255 - s0, s0)  # (32, B)
-        b = jnp.where(e1 == 1, 255 - s1, s1)
-        t = (a + b + 1) >> 3                  # 0..63
-        tc = 63 - t
+    if dt == jnp.uint8:
+        def branch_metric(a, b):
+            # (a + b + 1) >> 3 without leaving u8: rounded average
+            # (_mm_avg_epu8) then >> 2 (reference viterbi.cpp:242-251)
+            avg = (a >> 1) + (b >> 1) + ((a | b) & 1)
+            return avg >> 2
 
-        m = metrics_ref[:]                    # (64, B)
+        def sat_add(m, t):
+            s = m + t                        # wraps mod 256
+            return jnp.where(s < m, jnp.full((), 255, dt), s)
+    else:
+        def branch_metric(a, b):
+            return (a + b + 1) >> 3
+
+        def sat_add(m, t):
+            return jnp.minimum(m + t, 255).astype(dt)
+
+    def step(m, s0, s1, i):
+        """One ACS trellis step on register-resident metrics m (64, B)."""
+        a = jnp.where(e0 == 1, (255 - s0).astype(dt), s0)  # (32, B)
+        b = jnp.where(e1 == 1, (255 - s1).astype(dt), s1)
+        t = branch_metric(a, b)              # 0..63
+        tc = (63 - t).astype(dt)
+
         lo = m[:32, :]
         hi = m[32:, :]
-        m_even_lo = jnp.minimum(lo + t, 255)
-        m_even_hi = jnp.minimum(hi + tc, 255)
-        m_odd_lo = jnp.minimum(lo + tc, 255)
-        m_odd_hi = jnp.minimum(hi + t, 255)
+        m_even_lo = sat_add(lo, t)
+        m_even_hi = sat_add(hi, tc)
+        m_odd_lo = sat_add(lo, tc)
+        m_odd_hi = sat_add(hi, t)
 
         new_even = jnp.minimum(m_even_lo, m_even_hi)
         dec_even = (m_even_hi <= m_even_lo).astype(jnp.int8)
@@ -101,15 +141,39 @@ def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
         new = jnp.stack([new_even, new_odd], axis=1).reshape(64, bsz)
         dec = jnp.stack([dec_even, dec_odd], axis=1).reshape(64, bsz)
 
+        # renorm-at-210 (viterbi.cpp:314-332); the state-min comes from a
+        # pairwise minimum tree (Mosaic has no sub-32-bit reductions, and
+        # the tree is cheaper than a native reduce regardless)
+        minv = new
+        while minv.shape[0] > 1:
+            half = minv.shape[0] // 2
+            minv = jnp.minimum(minv[:half], minv[half:])
         need = new[0:1, :] > 210
-        new = jnp.where(need, new - jnp.min(new, axis=0, keepdims=True), new)
+        new = jnp.where(need, new - minv, new)
 
         live = (base + i) < steps            # (1, B); steps beyond a lane's
         dec_ref[i] = jnp.where(live, dec, 0)  # trellis are zero-filled
-        metrics_ref[:] = jnp.where(live, new, m)  # (viterbi.cpp:193)
-        return 0
+        # metrics past a lane's trellis end are never read again (its
+        # decisions are masked to zero above), so no freeze is needed
+        return new
 
-    jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
+    # The metrics are CARRIED THROUGH THE LOOP as a value (registers),
+    # not round-tripped through VMEM every step - the store->load
+    # dependency through scratch memory serializes the whole trellis on
+    # memory latency. 8 steps per iteration so the symbol block load is
+    # an aligned (8, B) sublane-tile slice and the per-step row extract
+    # a STATIC sublane pick (a dynamic sublane index per step forces a
+    # relayout).
+    def body(blk, m):
+        s0_blk = s0_ref[pl.ds(blk * _SUB, _SUB), :]   # (8, B)
+        s1_blk = s1_ref[pl.ds(blk * _SUB, _SUB), :]
+        for k in range(_SUB):
+            m = step(m, s0_blk[k:k + 1, :], s1_blk[k:k + 1, :],
+                     blk * _SUB + k)
+        return m
+
+    metrics_ref[:] = jax.lax.fori_loop(0, TIME_CHUNK // _SUB, body,
+                                       metrics_ref[:])
 
 
 def _chainback_kernel(dec_ref, out_ref, state_ref):
@@ -123,39 +187,52 @@ def _chainback_kernel(dec_ref, out_ref, state_ref):
     def _():
         state_ref[:] = jnp.zeros_like(state_ref)
 
-    def body(k, _):
-        i = TIME_CHUNK - 1 - k
-        dec = dec_ref[i].astype(jnp.int32)    # (64, B)
-        state = state_ref[:]                  # (1, B)
-        row = jax.lax.broadcasted_iota(jnp.int32, dec.shape, 0)
-        bit = jnp.sum(jnp.where(row == state, dec, 0), axis=0, keepdims=True)
-        out_ref[i, :] = bit[0, :]
-        state_ref[:] = (state >> 1) | (bit << 5)
-        return 0
+    # 8 steps per iteration so the out store is one aligned (8, B)
+    # sublane-tile write instead of a dynamic per-step sublane store; the
+    # survivor state is carried through the loop in registers
+    def body(j, state):
+        blk = TIME_CHUNK // _SUB - 1 - j
+        bits = []
+        for k in range(_SUB - 1, -1, -1):
+            dec = dec_ref[blk * _SUB + k].astype(jnp.int32)   # (64, B)
+            row = jax.lax.broadcasted_iota(jnp.int32, dec.shape, 0)
+            bit = jnp.sum(jnp.where(row == state, dec, 0), axis=0,
+                          keepdims=True).astype(jnp.int32)
+            bits.append(bit)
+            state = (state >> 1) | (bit << 5)
+        out_ref[pl.ds(blk * _SUB, _SUB), :] = jnp.concatenate(
+            bits[::-1], axis=0)
+        return state
 
-    jax.lax.fori_loop(0, TIME_CHUNK, body, 0)
+    state_ref[:] = jax.lax.fori_loop(0, TIME_CHUNK // _SUB, body,
+                                     state_ref[:])
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-@functools.partial(jax.jit, static_argnames=("nbits", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("nbits", "interpret", "metric_dtype"))
 def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
                   init_vec: jnp.ndarray, nbits: int,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False,
+                  metric_dtype: str = "int32") -> jnp.ndarray:
     """Decode (B, T_pad) soft pairs -> (B, nbits) bits. B, T_pad pre-padded.
 
     steps_vec: (B,) int32 per-frame even trellis-step counts.
     init_vec: (B,) int32 - 1 = exact frame-start metric init, 0 = uniform
     (block-overlap warm-up lanes).
+    metric_dtype: ACS metric carrier precision (METRIC_DTYPES) - all
+    bit-exact, narrower packs more VPU lanes (see _acs_kernel).
     """
     bsz, t_pad = s0.shape
     n_bt = bsz // BATCH_TILE
     n_tc = t_pad // TIME_CHUNK
+    mdt = jnp.dtype(metric_dtype)
 
-    s0 = s0.T  # (T_pad, B): time on sublanes, frames on lanes
-    s1 = s1.T
+    s0 = s0.T.astype(mdt)  # (T_pad, B): time on sublanes, frames on lanes
+    s1 = s1.T.astype(mdt)
 
     dec = pl.pallas_call(
         _acs_kernel,
@@ -176,10 +253,10 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
             (TIME_CHUNK, NUMSTATES, BATCH_TILE), lambda b, t: (t, 0, b),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, NUMSTATES, bsz), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((NUMSTATES, BATCH_TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((NUMSTATES, BATCH_TILE), mdt)],
         interpret=interpret,
-    )(steps_vec[None, :], init_vec[None, :], jnp.asarray(_branch_cols()),
-      s0, s1)
+    )(steps_vec[None, :], init_vec[None, :],
+      jnp.asarray(_branch_cols(metric_dtype)), s0, s1)
 
     ks = pl.pallas_call(
         _chainback_kernel,
@@ -203,7 +280,8 @@ def _decode_tiles(s0: jnp.ndarray, s1: jnp.ndarray, steps_vec: jnp.ndarray,
 
 
 def _viterbi_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
-                         nbits: int, interpret: bool = False) -> jnp.ndarray:
+                         nbits: int, interpret: bool = False,
+                         metric_dtype: str = "int32") -> jnp.ndarray:
     """soft (..., 2*(nbits+6)), steps_vec (...,) -> bits (..., nbits)."""
     soft = jnp.asarray(soft, jnp.int32)
     batch_shape = soft.shape[:-1]
@@ -223,12 +301,13 @@ def _viterbi_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
     sv = sv.at[:bsz].set(steps_vec.reshape(-1))
     iv = jnp.ones((b_pad,), jnp.int32)  # standalone frames: exact init
 
-    bits = _decode_tiles(s0, s1, sv, iv, nbits, interpret=interpret)
+    bits = _decode_tiles(s0, s1, sv, iv, nbits, interpret=interpret,
+                         metric_dtype=metric_dtype)
     return bits[:bsz].reshape(*batch_shape, nbits)
 
 
 @functools.lru_cache(maxsize=None)
-def _decoder(nbits: int, interpret: bool):
+def _decoder(nbits: int, interpret: bool, metric_dtype: str = "int32"):
     """custom_vmap'd decoder for one static (nbits, interpret) config.
 
     The impl natively handles arbitrary leading batch dims by flattening
@@ -239,7 +318,8 @@ def _decoder(nbits: int, interpret: bool):
     """
     @jax.custom_batching.custom_vmap
     def f(soft, steps_vec):
-        return _viterbi_decode_impl(soft, steps_vec, nbits, interpret)
+        return _viterbi_decode_impl(soft, steps_vec, nbits, interpret,
+                                    metric_dtype)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, soft, steps_vec):
@@ -256,7 +336,8 @@ def _decoder(nbits: int, interpret: bool):
 
 def _blocked_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
                          nbits: int, n_blocks: int, warmup: int,
-                         interpret: bool) -> jnp.ndarray:
+                         interpret: bool, return_merge_ok: bool = False,
+                         metric_dtype: str = "int32"):
     """Time-parallel block-overlap decode (SURVEY.md section 7 hard part #1).
 
     The trellis is split into n_blocks time blocks mapped onto the
@@ -269,11 +350,21 @@ def _blocked_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
     its live edge, the reference's contract, viterbi.cpp:108-146). Single-
     frame latency drops ~n_blocks-fold at 2*warmup/(span) extra compute.
 
-    NOT guaranteed bit-exact vs the sequential decoder: a merge failure
-    (probability ~2^-warmup-ish at working SNRs) can flip a block-edge
-    bit. tests/test_viterbi_pallas.py validates equality on clean and
-    noisy frames; the A/B harness (tools/viterbi_blocked_ab.py) measures
-    both latency and mismatch rate.
+    Splice exactness is guarded, not assumed: around every block cut the
+    2*warmup-step region [b*tb - wf, b*tb + wc) is decoded independently
+    by both adjacent blocks (block b-1's span end + truncation tail,
+    block b's lead-in + span start), and with return_merge_ok=True the
+    per-frame agreement over all cut regions is returned. A forward
+    (warm-up) merge failure corrupts a block's lead-in; a reverse
+    (truncated-chainback) merge failure corrupts a block's tail - both
+    land inside a compared region, so a single-block merge failure flags
+    the frame unless its neighbor independently fails onto identical
+    wrong bits across the 2*warmup-bit window (vanishing at the
+    production warmup=128; constructible only at degenerate warmups).
+    Callers (runtime/chain.py) re-decode flagged frames with the exact
+    sequential kernel, restoring a bit-exact end-to-end contract.
+    Measured flag rate at working SNRs: 0 in 3.1 Mbit adversarial sweep
+    (tools/viterbi_blocked_ab.py, docs/NOTES_r3.md).
     """
     soft = jnp.asarray(soft, jnp.int32)
     batch_shape = soft.shape[:-1]
@@ -284,7 +375,10 @@ def _blocked_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
     wf = _cdiv(warmup, 2) * 2
     wc = wf
     win = wf + tb + wc                            # window trellis steps
-    nbits_win = wf + tb
+    # emit the FULL window (lead-in + span + tail): the tail bits cost
+    # nothing (the chainback computes every window step anyway) and give
+    # the merge guard a 2*warmup-wide doubly-decoded region at each cut
+    nbits_win = win
 
     # per-block window offsets into the trellis (block 0 starts exact)
     offs = np.maximum(0, np.arange(n_blocks) * tb - wf).astype(np.int32)
@@ -300,14 +394,17 @@ def _blocked_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
     # flatten (frame, block) onto the kernel batch axis
     bsz = nf * n_blocks
     b_pad = _cdiv(max(bsz, 1), BATCH_TILE) * BATCH_TILE
-    t_pad = _cdiv(win, TIME_CHUNK) * TIME_CHUNK
+    # + (K-1): the decoded-bit slice for nbits_win = win reads K-1 steps
+    # past the window (dead, zero-decision steps)
+    t_pad = _cdiv(win + (K - 1), TIME_CHUNK) * TIME_CHUNK
     pairs = jnp.zeros((b_pad, 2 * t_pad), jnp.int32)
     pairs = pairs.at[:bsz, : 2 * win].set(wins.reshape(bsz, 2 * win))
     sv = jnp.zeros((b_pad,), jnp.int32).at[:bsz].set(steps_w.reshape(-1))
     iv = jnp.zeros((b_pad,), jnp.int32).at[:bsz].set(init_w.reshape(-1))
 
     bits = _decode_tiles(pairs[:, 0::2], pairs[:, 1::2], sv, iv,
-                         nbits_win, interpret=interpret)
+                         nbits_win, interpret=interpret,
+                         metric_dtype=metric_dtype)
     bits = bits[:bsz].reshape(nf, n_blocks, nbits_win)
 
     # splice: frame bit n lives in block b = n // tb at local index
@@ -315,19 +412,49 @@ def _blocked_decode_impl(soft: jnp.ndarray, steps_vec: jnp.ndarray,
     n_idx = np.arange(nbits)
     b_idx = (n_idx // tb).astype(np.int32)
     m_idx = (n_idx - b_idx * tb + np.where(b_idx > 0, wf, 0)).astype(np.int32)
-    out = bits[:, b_idx, m_idx]
-    return out.reshape(*batch_shape, nbits)
+    out = bits[:, b_idx, m_idx].reshape(*batch_shape, nbits)
+    if not return_merge_ok:
+        return out
+
+    # merge guard: compare the two independent decodes of the
+    # doubly-decoded region around every cut, [b*tb - wf, b*tb + wc)
+    # (block b-1's span end + truncation tail vs block b's lead-in +
+    # span start). The outermost `trim` bits on each side are each
+    # block's by-construction-unreliable margins (block b's first bits
+    # sit right after its uniform metric init; block b-1's last bits are
+    # its chainback truncation start, garbage until the backward merge
+    # settles, typically within ~5K = 35 steps) — comparing them would
+    # flag healthy frames constantly, so they are excluded. Masked to
+    # each frame's real bit extent.
+    ov = wf + wc
+    trim = min(_GUARD_TRIM, ov // 4)
+    nb_f = jnp.maximum(steps_vec.reshape(-1) - (K - 1), 0)  # real data bits
+    live_hi = jnp.minimum(nb_f, nbits)[:, None]
+    mism = jnp.zeros((nf,), bool)
+    for b in range(1, n_blocks):
+        lo = b * tb - wf                       # overlap start (trellis bit)
+        prev_start = lo - int(offs[b - 1])     # local index in block b-1
+        sl = slice(trim, ov - trim)
+        prev = bits[:, b - 1, prev_start:prev_start + ov][:, sl]
+        cur = bits[:, b, :ov][:, sl]
+        live = (lo + np.arange(ov)[sl])[None, :] < live_hi
+        mism = mism | jnp.any((prev != cur) & live, axis=-1)
+    return out, (~mism).reshape(batch_shape)
 
 
 @functools.lru_cache(maxsize=None)
 def _blocked_decoder(nbits: int, n_blocks: int, warmup: int,
-                     interpret: bool):
+                     interpret: bool, guarded: bool = False,
+                     metric_dtype: str = "int32"):
     """custom_vmap'd blocked decoder (same batch-collapse rule as
-    _decoder: every vmap level flattens into the kernel lane tile)."""
+    _decoder: every vmap level flattens into the kernel lane tile).
+    guarded=True also returns the per-frame merge-agreement flag."""
     @jax.custom_batching.custom_vmap
     def f(soft, steps_vec):
         return _blocked_decode_impl(soft, steps_vec, nbits, n_blocks,
-                                    warmup, interpret)
+                                    warmup, interpret,
+                                    return_merge_ok=guarded,
+                                    metric_dtype=metric_dtype)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, soft, steps_vec):
@@ -337,7 +464,7 @@ def _blocked_decoder(nbits: int, n_blocks: int, warmup: int,
         if not vb:
             steps_vec = jnp.broadcast_to(
                 steps_vec[None], (axis_size,) + steps_vec.shape)
-        return f(soft, steps_vec), True
+        return f(soft, steps_vec), ((True, True) if guarded else True)
 
     return f
 
@@ -345,8 +472,9 @@ def _blocked_decoder(nbits: int, n_blocks: int, warmup: int,
 def viterbi_decode_pallas_blocked(soft: jnp.ndarray, nbits: int,
                                   n_blocks: int = 16, warmup: int = 128,
                                   interpret: bool = False,
-                                  nbits_dynamic: jnp.ndarray | None = None
-                                  ) -> jnp.ndarray:
+                                  nbits_dynamic: jnp.ndarray | None = None,
+                                  return_merge_ok: bool = False,
+                                  metric_dtype: str | None = None):
     """Block-overlap time-parallel variant of viterbi_decode_pallas.
 
     Same contract (soft (..., 2*(nbits+6)) -> (..., nbits) bits), but the
@@ -354,7 +482,15 @@ def viterbi_decode_pallas_blocked(soft: jnp.ndarray, nbits: int,
     warmup-step overlap regions, cutting single-frame latency ~n_blocks x.
     Use for small-batch / long-frame (the streaming chain's operating
     point); the plain kernel is cheaper at large batch (no overlap
-    overhead). Not bit-exactness-guaranteed (see _blocked_decode_impl).
+    overhead).
+
+    return_merge_ok=True additionally returns a (...,) bool per-frame flag
+    that is False whenever adjacent blocks disagree on any overlap span -
+    the signature of a survivor-merge failure. A frame with
+    merge_ok=False must be re-decoded with the exact kernel to preserve
+    bit-exactness (the streaming chain does this automatically); frames
+    with merge_ok=True are exact unless two adjacent blocks independently
+    failed onto identical wrong bits (see _blocked_decode_impl).
     """
     soft = jnp.asarray(soft, jnp.int32)
     if nbits_dynamic is None:
@@ -365,13 +501,16 @@ def viterbi_decode_pallas_blocked(soft: jnp.ndarray, nbits: int,
     steps_vec = ((nb + (K - 1)) // 2) * 2
     total_steps = nbits + (K - 1)
     n_blocks = max(1, min(n_blocks, total_steps // max(2 * warmup, 2)))
-    return _blocked_decoder(nbits, n_blocks, warmup, interpret)(
-        soft, steps_vec)
+    fn = _blocked_decoder(nbits, n_blocks, warmup, interpret,
+                          guarded=return_merge_ok,
+                          metric_dtype=metric_dtype or DEFAULT_METRIC_DTYPE)
+    return fn(soft, steps_vec)
 
 
 def viterbi_decode_pallas(soft: jnp.ndarray, nbits: int,
                           interpret: bool = False,
-                          nbits_dynamic: jnp.ndarray | None = None
+                          nbits_dynamic: jnp.ndarray | None = None,
+                          metric_dtype: str | None = None
                           ) -> jnp.ndarray:
     """Drop-in Pallas replacement for ops.viterbi.viterbi_decode.
 
@@ -379,6 +518,8 @@ def viterbi_decode_pallas(soft: jnp.ndarray, nbits: int,
     nbits: number of data bits to output (static upper bound).
     nbits_dynamic: optional traced (...,) per-element bit counts <= nbits
            (see ops.viterbi.viterbi_decode).
+    metric_dtype: ACS metric carrier precision (METRIC_DTYPES); None =
+           DEFAULT_METRIC_DTYPE. All choices are bit-exact.
     Returns (..., nbits) int32 decoded bits, bit-exact with the scan path.
     """
     soft = jnp.asarray(soft, jnp.int32)
@@ -388,4 +529,5 @@ def viterbi_decode_pallas(soft: jnp.ndarray, nbits: int,
         nb = jnp.broadcast_to(jnp.asarray(nbits_dynamic, jnp.int32),
                               soft.shape[:-1])
     steps_vec = ((nb + (K - 1)) // 2) * 2
-    return _decoder(nbits, interpret)(soft, steps_vec)
+    return _decoder(nbits, interpret,
+                    metric_dtype or DEFAULT_METRIC_DTYPE)(soft, steps_vec)

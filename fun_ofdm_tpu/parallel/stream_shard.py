@@ -95,6 +95,71 @@ def sharded_receive(streams: CArr, rate: Rate, length: int,
     return fn(streams[0], streams[1])
 
 
+def sharded_receive_dynamic(streams: CArr, rates: tuple[Rate, ...],
+                            max_length: int, mesh: Mesh,
+                            max_frames_per_block: int,
+                            params: ChainParams = DEFAULT_PARAMS):
+    """Any-rate, header-driven detect+decode across a sharded capture.
+
+    The multi-chip equivalent of the reference's zero-configuration
+    receive (src/frame_decoder.cpp:72-88): each device detects frames in
+    its own time block, reads every frame's (rate, length) from its
+    SIGNAL header, and decodes it through the universal any-rate decoder
+    (models/frontend.receive_capture_anyrate_p) — same ownership rule and
+    right-neighbor halo `ppermute` as sharded_receive, with the halo
+    sized for the slowest configured rate at max_length (a frame of any
+    rate straddling a time cut is decoded whole by its owning device).
+
+    streams: planar (re, im), each (C, N), shardable P('channel','time').
+    Returns per-slot dicts gathered to
+    (C, num_time_blocks*max_frames_per_block, ...) with global `starts`;
+    `rate_field`/`hdr_length` report each frame's header values.
+    """
+    rates = tuple(rates)
+    frame_len_max = max(params_for(r).frame_samples(max_length)
+                        for r in rates)
+    halo = frame_len_max + params.lts_search + 64
+
+    def local_fn(re, im):  # each (C_loc, n_local)
+        n_local = re.shape[-1]
+        t_idx = jax.lax.axis_index("time")
+        ext = (_halo_exchange_right(re, halo, "time"),
+               _halo_exchange_right(im, halo, "time"))
+        out = jax.vmap(
+            lambda r, i: frontend.receive_capture_anyrate_p(
+                (r, i), rates, max_length, max_frames_per_block, params)
+        )(ext[0], ext[1])
+        owned = out["starts"] < n_local  # ownership: starts in my block
+        global_starts = jnp.where(
+            owned, out["starts"] + t_idx * n_local, -1).astype(jnp.int32)
+        return {
+            "starts": global_starts,
+            "valid": out["valid"] & owned,
+            "crc_ok": out["crc_ok"] & owned,
+            "header_ok": out["header_ok"] & owned,
+            "rate_field": out["rate_field"],
+            "hdr_length": out["hdr_length"],
+            "payload": out["payload"],
+        }
+
+    specs_out = {
+        "starts": P("channel", "time"),
+        "valid": P("channel", "time"),
+        "crc_ok": P("channel", "time"),
+        "header_ok": P("channel", "time"),
+        "rate_field": P("channel", "time"),
+        "hdr_length": P("channel", "time"),
+        "payload": P("channel", "time", None),
+    }
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("channel", "time"), P("channel", "time")),
+        out_specs=specs_out,
+        check_vma=False,
+    )
+    return fn(streams[0], streams[1])
+
+
 @functools.lru_cache(maxsize=None)
 def sharded_receive_jit(rate: Rate, length: int, mesh: Mesh,
                         max_frames_per_block: int,
@@ -102,3 +167,13 @@ def sharded_receive_jit(rate: Rate, length: int, mesh: Mesh,
     return jax.jit(functools.partial(
         sharded_receive, rate=rate, length=length, mesh=mesh,
         max_frames_per_block=max_frames_per_block, params=params))
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_receive_dynamic_jit(rates: tuple[Rate, ...], max_length: int,
+                                mesh: Mesh, max_frames_per_block: int,
+                                params: ChainParams = DEFAULT_PARAMS):
+    return jax.jit(functools.partial(
+        sharded_receive_dynamic, rates=rates, max_length=max_length,
+        mesh=mesh, max_frames_per_block=max_frames_per_block,
+        params=params))

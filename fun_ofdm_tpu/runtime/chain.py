@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 import sys
 import time
 from dataclasses import dataclass
@@ -144,38 +145,90 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     return jax.jit(fn)
 
 
+def _impl_for_bucket(impl: str, bucket: int) -> str | None:
+    """Resolve the chain's viterbi_impl knob to a per-bucket backend.
+
+    "auto": small decode batches waste the sequential kernel's 128 lanes
+    and serialize its ~12k-step time axis; the block-overlap variant maps
+    trellis blocks onto the idle lanes (measured 10-12x at batch 1-8,
+    ~5x at 64; docs/NOTES_r3.md). Large buckets fill the lanes anyway.
+    """
+    if impl == "auto":
+        return "pallas-blocked" if bucket <= 64 else None
+    if impl == "exact":
+        return None
+    return impl
+
+
+def _pack_decode_rows(jnp, out) -> "jnp.ndarray":
+    """Flatten a decode-output dict to (bucket * (max_length + 5),) uint8
+    rows — payload bytes, then [crc_ok, len_lo, len_hi, viterbi_exact,
+    rate_field] — padded to FETCH_PAD_BYTES."""
+    ln = out["hdr_length"].astype(jnp.int32)
+    flat = jnp.concatenate([
+        out["payload"].astype(jnp.uint8),
+        out["crc_ok"][:, None].astype(jnp.uint8),
+        (ln[:, None] & 0xFF).astype(jnp.uint8),
+        ((ln[:, None] >> 8) & 0xFF).astype(jnp.uint8),
+        out["viterbi_exact"][:, None].astype(jnp.uint8),
+        (out["rate_field"][:, None] & 0xFF).astype(jnp.uint8),
+    ], axis=1).reshape(-1)
+    pad = max(0, FETCH_PAD_BYTES - flat.shape[0])
+    return jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
+
+
 @functools.lru_cache(maxsize=None)
 def _build_decode_fn(rate: Rate, bucket: int, max_length: int,
-                     cfo_correct: bool):
-    """Payload pass returning ONE (bucket, max_length + 3) uint8 array per
-    job — payload bytes, then [crc_ok, len_lo, len_hi] (single prefetched
+                     cfo_correct: bool, impl: str = "auto"):
+    """Single-rate payload pass returning ONE (bucket, max_length + 5)
+    uint8 row block per job (see _pack_decode_rows; single prefetched
     fetch, same rationale as _build_step_fn). One compiled variant per
-    (rate, bucket) — job batches are padded up to bucket so frame-count
-    never mints new shapes. Shared across chain instances (lru_cache)."""
+    (rate, bucket, impl) — job batches are padded up to bucket so
+    frame-count never mints new shapes. Shared across chain instances
+    (lru_cache).
+
+    impl: "auto" uses the block-overlap Viterbi for buckets <= 64 (its
+    merge guard sets the viterbi_exact column; the chain re-decodes
+    flagged frames via the "exact" variant), "exact" forces the backend
+    default exact kernel, any other value is passed to
+    ops/viterbi.viterbi_decode verbatim."""
     import jax
     import jax.numpy as jnp
     from ..models import rx
 
-    # small decode batches waste the sequential kernel's 128 lanes and
-    # serialize its ~12k-step time axis; the block-overlap variant maps
-    # trellis blocks onto the idle lanes (measured 10-12x at batch 1-8,
-    # ~5x at 64; docs/NOTES_r3.md). Large buckets fill the lanes anyway.
-    vimpl = "pallas-blocked" if bucket <= 64 else None
+    vimpl = _impl_for_bucket(impl, bucket)
 
     def fn(wr, wi, starts):
         out = jax.vmap(
             lambda s: rx.decode_frame_dynamic_p(
                 (wr, wi), rate, max_length, start=s,
                 cfo_correct=cfo_correct, viterbi_impl=vimpl))(starts)
-        ln = out["hdr_length"].astype(jnp.int32)
-        flat = jnp.concatenate([
-            out["payload"].astype(jnp.uint8),
-            out["crc_ok"][:, None].astype(jnp.uint8),
-            (ln[:, None] & 0xFF).astype(jnp.uint8),
-            ((ln[:, None] >> 8) & 0xFF).astype(jnp.uint8),
-        ], axis=1).reshape(-1)
-        pad = max(0, FETCH_PAD_BYTES - flat.shape[0])
-        return jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
+        return _pack_decode_rows(jnp, out)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_decode_anyrate_fn(rates: tuple[Rate, ...], bucket: int,
+                             max_length: int, cfo_correct: bool,
+                             impl: str = "auto"):
+    """Universal payload pass: ONE dispatch decodes a mixed-rate batch,
+    each frame at the rate its SIGNAL header carries
+    (models/rx.decode_frame_anyrate_p). Same row layout as
+    _build_decode_fn. This replaces up to len(rates) dispatch+fetch pairs
+    per superstep on mixed streams (VERDICT r3 item 5)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import rx
+
+    vimpl = _impl_for_bucket(impl, bucket)
+
+    def fn(wr, wi, starts):
+        out = jax.vmap(
+            lambda s: rx.decode_frame_anyrate_p(
+                (wr, wi), rates, max_length, start=s,
+                cfo_correct=cfo_correct, viterbi_impl=vimpl))(starts)
+        return _pack_decode_rows(jnp, out)
 
     return jax.jit(fn)
 
@@ -217,6 +270,10 @@ class ChainStats:
     detect_dropped: int = 0
     #: duplicate equal frame starts removed before decode
     dup_starts: int = 0
+    #: frames re-decoded with the exact Viterbi because the block-overlap
+    #: kernel's merge guard flagged a possible splice failure (the
+    #: fallback preserves the chain's bit-exactness contract)
+    viterbi_fallbacks: int = 0
     #: wall-clock the host spent blocked on device results per stage (the
     #: analogue of the reference's per-block work() timing,
     #: src/receiver_chain.cpp:84-92); dispatch is async so this is sync
@@ -249,6 +306,19 @@ class ReceiverChain:
       ingest_dtype: host->device sample format: "float32" (reference
         fc32/fc64 parity), "int16" (UHD sc16 radio wire format, half the
         ingest bytes) or "int8" (UHD sc8, quarter). See INGEST_FORMATS.
+      viterbi_impl: payload Viterbi backend. None (default) honors the
+        FUN_OFDM_VITERBI env var, else "auto": the guarded block-overlap
+        kernel for small decode buckets with exact re-decode of any frame
+        its merge guard flags (stats.viterbi_fallbacks counts them), the
+        sequential kernel for large buckets. "pallas"/"scan" force those
+        exact impls; "pallas-blocked" forces the blocked kernel (still
+        guarded).
+      decode_mode: "auto" (default) uses the universal any-rate decoder
+        (ONE device dispatch per superstep decode batch, every frame at
+        its header's rate) when more than one rate is configured, and the
+        cheaper single-rate decoder otherwise. "universal" / "per-rate"
+        force either. Per-rate on a mixed stream issues one dispatch per
+        (rate, bucket) pair — up to 11 per superstep.
 
     process_samples() accepts any-length complex or planar chunks, exactly
     like receiver_chain::process_samples (src/receiver_chain.cpp:106).
@@ -260,7 +330,9 @@ class ReceiverChain:
                  cfo_correct: bool = False,
                  verbose: bool = False,
                  pipeline_depth: int = 2,
-                 ingest_dtype: str = "float32"):
+                 ingest_dtype: str = "float32",
+                 viterbi_impl: str | None = None,
+                 decode_mode: str = "auto"):
         if max_length > MAX_FRAME_SIZE:
             raise ValueError(f"max_length > MAX_FRAME_SIZE ({MAX_FRAME_SIZE})")
         if ingest_dtype not in INGEST_FORMATS:
@@ -271,6 +343,13 @@ class ReceiverChain:
         self.params = params
         self.cfo_correct = bool(cfo_correct)
         self.ingest_dtype = ingest_dtype
+        if viterbi_impl is None:
+            viterbi_impl = os.environ.get("FUN_OFDM_VITERBI") or "auto"
+        self.viterbi_impl = viterbi_impl
+        if decode_mode not in ("auto", "universal", "per-rate"):
+            raise ValueError("decode_mode must be auto|universal|per-rate")
+        self.decode_mode = ("universal" if len(rates) > 1 else "per-rate") \
+            if decode_mode == "auto" else decode_mode
         self.stride = params.chunk_size
         k = params.strides_per_step
         if k is None:
@@ -322,9 +401,16 @@ class ReceiverChain:
         return _build_step_fn(self.step, self.max_frames, self.params,
                               self.ingest_dtype)
 
-    def _decode_fn(self, rate: Rate, bucket: int):
+    def _decode_fn(self, rate: Rate | None, bucket: int,
+                   exact: bool = False):
+        """Jitted decode for one bucket; rate=None = universal any-rate."""
+        impl = "exact" if exact else self.viterbi_impl
+        if rate is None:
+            return _build_decode_anyrate_fn(self.rates, bucket,
+                                            self.max_length,
+                                            self.cfo_correct, impl)
         return _build_decode_fn(rate, bucket, self.max_length,
-                                self.cfo_correct)
+                                self.cfo_correct, impl)
 
     # --- streaming API ----------------------------------------------------
 
@@ -426,56 +512,94 @@ class ReceiverChain:
         is_ready = getattr(arr, "is_ready", None)
         return bool(is_ready()) if is_ready is not None else False
 
+    def _dispatch_one(self, win, rate: Rate | None, starts, idx, jobs
+                      ) -> None:
+        """Dispatch decode jobs for slot indices idx, padded to fixed
+        buckets so frame count never mints a fresh jit shape; overflow
+        splits into max-bucket jobs."""
+        import jax.numpy as jnp
+
+        for lo in range(0, idx.size, DECODE_BUCKETS[-1]):
+            part = idx[lo:lo + DECODE_BUCKETS[-1]]
+            bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
+            padded = np.full(bucket, starts[part[0]], np.int32)
+            padded[:part.size] = starts[part]
+            out = self._decode_fn(rate, bucket)(
+                win[0], win[1], jnp.asarray(padded))
+            copy_async = getattr(out, "copy_to_host_async", None)
+            if copy_async is not None:
+                copy_async()
+            jobs.append((rate, part, out))
+
     def _dispatch_decodes(self, gpos, win, starts, owned, fields,
                           lengths) -> None:
         """Queue batched payload decodes for one superstep's owned frames
         (stage 2 dispatch; fetched by a later _drain)."""
+        jobs = []
+        known = np.isin(fields, list(self._valid_fields)) & owned
+        self.stats.unknown_rate += int((owned & ~known).sum())
+        over = known & (lengths > self.max_length)
+        if over.any():
+            self.stats.length_overflow += int(over.sum())
+        sel_all = known & (lengths <= self.max_length)
+        if self.decode_mode == "universal":
+            # ONE mixed-rate dispatch per bucket: every frame decodes at
+            # its header's rate inside the same jitted graph
+            if sel_all.any():
+                self._dispatch_one(win, None, starts,
+                                   np.nonzero(sel_all)[0], jobs)
+        else:
+            for field_val in np.unique(fields[sel_all]):
+                rate = self._valid_fields.get(int(field_val))
+                sel = sel_all & (fields == field_val)
+                self._dispatch_one(win, rate, starts,
+                                   np.nonzero(sel)[0], jobs)
+        if jobs:
+            self._dec_q.append((gpos, win, starts, jobs))
+
+    def _redecode_exact(self, win, rate: Rate | None,
+                        starts_bad) -> np.ndarray:
+        """Re-decode merge-guard-flagged frames with the exact Viterbi.
+
+        Returns the same (n, max_length + 5) uint8 row layout as the
+        primary decode. Synchronous (flagged frames are rare — zero in
+        the 3.1 Mbit adversarial sweep, docs/NOTES_r3.md)."""
         import jax.numpy as jnp
 
-        jobs = []
-        for field_val in np.unique(fields[owned]):
-            rate = self._valid_fields.get(int(field_val))
-            if rate is None:  # valid-parity header, unconfigured rate
-                self.stats.unknown_rate += int(
-                    (owned & (fields == field_val)).sum())
-                continue
-            over = (owned & (fields == field_val)
-                    & (lengths > self.max_length))
-            if over.any():
-                self.stats.length_overflow += int(over.sum())
-            sel = (owned & (fields == field_val)
-                   & (lengths <= self.max_length))
-            if not sel.any():
-                continue
-            idx = np.nonzero(sel)[0]
-            # pad the job batch up to a fixed bucket so frame count never
-            # mints a fresh jit shape; overflow splits into max-bucket jobs
-            for lo in range(0, idx.size, DECODE_BUCKETS[-1]):
-                part = idx[lo:lo + DECODE_BUCKETS[-1]]
-                bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
-                padded = np.full(bucket, starts[part[0]], np.int32)
-                padded[:part.size] = starts[part]
-                out = self._decode_fn(rate, bucket)(
-                    win[0], win[1], jnp.asarray(padded))
-                copy_async = getattr(out, "copy_to_host_async", None)
-                if copy_async is not None:
-                    copy_async()
-                jobs.append((rate, part, out))
-        if jobs:
-            self._dec_q.append((gpos, starts, jobs))
+        row = self.max_length + 5
+        outs = []
+        for lo in range(0, starts_bad.size, DECODE_BUCKETS[-1]):
+            part = starts_bad[lo:lo + DECODE_BUCKETS[-1]]
+            bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
+            padded = np.full(bucket, part[0], np.int32)
+            padded[:part.size] = part
+            out = self._decode_fn(rate, bucket, exact=True)(
+                win[0], win[1], jnp.asarray(padded))
+            outs.append(np.asarray(out)[: part.size * row].reshape(-1, row))
+        return np.concatenate(outs)
 
-    def _collect_decodes(self, gpos, starts, jobs) -> list[DecodedPacket]:
+    def _collect_decodes(self, gpos, win, starts, jobs) -> list[DecodedPacket]:
         """Sync one superstep's decode jobs into DecodedPackets."""
         wpkts: list[DecodedPacket] = []
         t1 = time.perf_counter()
         for rate, idx, out in jobs:
-            row = self.max_length + 3
+            row = self.max_length + 5
             packed = np.asarray(out)[: idx.size * row].reshape(-1, row)
+            exact = packed[:, self.max_length + 3].astype(bool)
+            bad = np.nonzero(~exact)[0]
+            if bad.size:
+                # blocked-Viterbi merge guard tripped: restore exactness
+                # by re-decoding the flagged frames sequentially
+                self.stats.viterbi_fallbacks += int(bad.size)
+                packed = packed.copy()
+                packed[bad] = self._redecode_exact(
+                    win, rate, starts[idx[bad]].astype(np.int32))
             payloads = packed[:, :self.max_length]
             crc_ok = packed[:, self.max_length].astype(bool)
             hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
                        | (packed[:, self.max_length + 2]
                           .astype(np.int32) << 8))
+            rfield = packed[:, self.max_length + 4]
             for k in range(idx.size):
                 if not crc_ok[k]:
                     # reference: report + drop, keep streaming
@@ -489,7 +613,9 @@ class ReceiverChain:
                 n = int(hdr_len[k])
                 wpkts.append(DecodedPacket(
                     payload=payloads[k, :n].tobytes(),
-                    rate=rate, length=n,
+                    rate=(rate if rate is not None
+                          else self._valid_fields[int(rfield[k])]),
+                    length=n,
                     start=gpos + int(starts[idx[k]])))
         self.stats.time_decode_s += time.perf_counter() - t1
         wpkts.sort(key=lambda p: p.start)
@@ -554,11 +680,11 @@ class ReceiverChain:
         packets: list[DecodedPacket] = []
         while self._dec_q and (len(self._dec_q) > keep
                                or all(self._ready(o)
-                                      for _, _, o in self._dec_q[0][2])):
+                                      for _, _, o in self._dec_q[0][3])):
             # opportunistic pop requires EVERY job of the superstep ready:
             # np.asarray on an unfinished output serializes into the full
             # device queue and hits the transport's cold-fetch pathology
             # (measured 3.7 s/superstep on the all-rates config)
-            gpos, starts, jobs = self._dec_q.popleft()
-            packets.extend(self._collect_decodes(gpos, starts, jobs))
+            gpos, win, starts, jobs = self._dec_q.popleft()
+            packets.extend(self._collect_decodes(gpos, win, starts, jobs))
         return packets

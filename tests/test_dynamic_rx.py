@@ -140,3 +140,105 @@ def test_decode_headers_only():
     assert int(np.asarray(out["starts"])[0]) == 64
     assert int(np.asarray(out["hdr_length"])[0]) == 25
     assert int(np.asarray(out["rate_field"])[0]) == 0x1  # 2/3-QAM64
+
+
+def test_anyrate_decode_all_rates_one_graph():
+    """The universal any-rate decoder: ONE jitted graph decodes frames of
+    every configured rate, selecting demap/deinterleave/depuncture via
+    per-frame gather tables from the decoded SIGNAL field (VERDICT r3
+    items 3/5: replaces one compiled variant + device dispatch per rate).
+    Must be bit-identical to the per-rate dynamic decode."""
+    from fun_ofdm_tpu.rates import ALL_RATES
+
+    rng = np.random.default_rng(77)
+    max_length = 48
+    lengths = {r: int(ln) for r, ln in
+               zip(ALL_RATES, rng.integers(8, max_length + 1,
+                                           len(ALL_RATES)))}
+    fn = jax.jit(lambda s, st: rx.decode_frame_anyrate_p(
+        s, ALL_RATES, max_length, start=st))
+    pad_len = max(params_for(r).frame_samples(max_length)
+                  for r in ALL_RATES)
+    for r in ALL_RATES:
+        payload = rng.integers(0, 256, lengths[r], dtype=np.uint8)
+        frame = np.asarray(tx.build_frame(jnp.asarray(payload), r))
+        stream = np.zeros(37 + frame.size + pad_len, np.complex64)
+        stream[37:37 + frame.size] = frame
+        out = fn((jnp.asarray(stream.real), jnp.asarray(stream.imag)),
+                 jnp.asarray(37))
+        assert bool(np.asarray(out["crc_ok"])), f"rate {r}"
+        assert int(np.asarray(out["hdr_length"])) == lengths[r]
+        assert int(np.asarray(out["rate_field"])) \
+            == params_for(r).rate_field
+        got = np.asarray(out["payload"])[:lengths[r]].astype(np.uint8)
+        np.testing.assert_array_equal(got, payload)
+
+
+def test_anyrate_unknown_rate_reports_header_only():
+    """A frame at a rate outside the configured tuple: header fields are
+    reported, crc_ok is False (the reference's skip-and-report path)."""
+    rng = np.random.default_rng(78)
+    payload = rng.integers(0, 256, 20, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_2_3_QAM64))
+    rates = (Rate.RATE_1_2_BPSK, Rate.RATE_3_4_QAM16)
+    pad_len = max(params_for(r).frame_samples(40) for r in rates)
+    stream = np.zeros(frame.size + pad_len, np.complex64)
+    stream[:frame.size] = frame
+    out = rx.decode_frame_anyrate_p(
+        (jnp.asarray(stream.real), jnp.asarray(stream.imag)), rates, 40)
+    assert bool(np.asarray(out["header_ok"]))
+    assert not bool(np.asarray(out["rate_match"]))
+    assert not bool(np.asarray(out["crc_ok"]))
+    assert int(np.asarray(out["hdr_length"])) == 20
+
+
+def test_sharded_receive_dynamic_mixed_rates_cpu_mesh():
+    """Any-rate sharded receive on the 8-virtual-device CPU mesh: mixed-
+    rate frames (one straddling a time cut) decode from their headers
+    with exactly-once global delivery (VERDICT r3 item 3)."""
+    from fun_ofdm_tpu.parallel import stream_shard
+    from fun_ofdm_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(jax.devices("cpu"), channel=2, time=4)
+    rates = (Rate.RATE_1_2_BPSK, Rate.RATE_3_4_QAM16)
+    max_length = 20
+    flens = {r: params_for(r).frame_samples(max_length) for r in rates}
+    block, channels = 4096, 2
+    n = block * 4
+
+    rng = np.random.default_rng(55)
+    plan = [(300, rates[0]),
+            (block - flens[rates[1]] // 2, rates[1]),   # straddles cut 1
+            (2 * block + 77, rates[1]),
+            (3 * block - flens[rates[0]] + 40, rates[0])]  # straddles cut 3
+    s_re = np.zeros((channels, n), np.float32)
+    s_im = np.zeros((channels, n), np.float32)
+    payloads = {}
+    for c in range(channels):
+        for pos, r in plan:
+            payload = rng.integers(0, 256, max_length, dtype=np.uint8)
+            payloads[(c, pos)] = (r, payload)
+            fre, fim = tx.build_frame_p(jnp.asarray(payload), r)
+            s_re[c, pos:pos + flens[r]] = np.asarray(fre)
+            s_im[c, pos:pos + flens[r]] = np.asarray(fim)
+
+    sharding = NamedSharding(mesh, P("channel", "time"))
+    dev = (jax.device_put(jnp.asarray(s_re), sharding),
+           jax.device_put(jnp.asarray(s_im), sharding))
+    out = jax.jit(lambda s: stream_shard.sharded_receive_dynamic(
+        s, rates, max_length, mesh, max_frames_per_block=4))(dev)
+    crc_ok = np.asarray(out["crc_ok"])
+    gstarts = np.asarray(out["starts"])
+    rfield = np.asarray(out["rate_field"])
+    pl_out = np.asarray(out["payload"])
+    want = sorted(pos for pos, _ in plan)
+    for c in range(channels):
+        got = sorted(int(s) for s in gstarts[c][crc_ok[c]])
+        assert got == want
+        for k in np.nonzero(crc_ok[c])[0]:
+            r, payload = payloads[(c, int(gstarts[c][k]))]
+            assert int(rfield[c][k]) == params_for(r).rate_field
+            np.testing.assert_array_equal(
+                pl_out[c, k, :max_length].astype(np.uint8), payload)

@@ -380,6 +380,70 @@ def test_chain_mixed_dtype_tuple_rescales_both_channels():
     assert [(p.start, p.payload) for p in pkts] == [(200, payload.tobytes())]
 
 
+def test_chain_viterbi_merge_guard_fallback(monkeypatch):
+    """When the primary decode reports viterbi_exact=0 for a frame, the
+    chain must re-decode it with the exact kernel and deliver the exact
+    result (stats.viterbi_fallbacks counts it). Forced by corrupting the
+    primary decode's result block for non-exact impls."""
+    import fun_ofdm_tpu.runtime.chain as chain_mod
+
+    orig = chain_mod._build_decode_fn
+    max_length = 60
+
+    def patched(rate, bucket, max_length_, cfo_correct, impl="auto"):
+        fn = orig(rate, bucket, max_length_, cfo_correct, impl)
+        if impl == "exact":
+            return fn
+
+        def wrap(wr, wi, starts):
+            out = np.array(fn(wr, wi, starts))
+            row = max_length_ + 5
+            n = int(starts.shape[0])
+            block = out[: n * row].reshape(n, row)
+            # simulate a splice failure: garbage payload, failed CRC,
+            # merge guard tripped
+            block[:, :max_length_] = 0xAB
+            block[:, max_length_] = 0          # crc_ok = False
+            block[:, max_length_ + 3] = 0      # viterbi_exact = False
+            return out
+
+        return wrap
+
+    monkeypatch.setattr(chain_mod, "_build_decode_fn", patched)
+
+    rng = np.random.default_rng(13)
+    payload = rng.integers(0, 256, max_length, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    stream = np.zeros(10000, np.complex64)
+    stream[150:150 + frame.size] = frame
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,),
+                          max_length=max_length)
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert chain.stats.viterbi_fallbacks == 1
+    # the delivered packet comes from the exact re-decode, not the
+    # corrupted primary result
+    assert [(p.start, p.payload) for p in pkts] == [(150, payload.tobytes())]
+
+
+def test_chain_viterbi_impl_knob():
+    """ReceiverChain(viterbi_impl=...) forces the payload decode backend
+    (ADVICE r3: the blocked kernel had no per-chain opt-out)."""
+    rng = np.random.default_rng(14)
+    payload = rng.integers(0, 256, 30, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    stream = np.zeros(8192, np.complex64)
+    stream[90:90 + frame.size] = frame
+    for impl in ("scan", "pallas-blocked"):
+        chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=30,
+                              viterbi_impl=impl)
+        assert chain.viterbi_impl == impl
+        pkts = chain.process_samples(stream) + chain.flush()
+        assert [(p.start, p.payload) for p in pkts] \
+            == [(90, payload.tobytes())]
+
+
 def test_chain_decode_bucket_padding_many_frames():
     """More frames than the smallest decode bucket in one superstep: the
     job is padded to a larger bucket and every frame still decodes once

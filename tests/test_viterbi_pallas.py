@@ -86,6 +86,45 @@ def test_blocked_matches_scan_clean_and_noisy(nbits, n_blocks):
         np.testing.assert_array_equal(ref, got)
 
 
+def test_blocked_merge_guard_flags_every_mismatch():
+    """The merge guard's contract: any frame whose blocked decode differs
+    from the sequential decode MUST carry merge_ok=False (no silent
+    splice failure). Forced failures via a pathologically short warmup
+    on heavy noise; with the production warmup the same frames decode
+    exactly and report merge_ok=True."""
+    rng = np.random.default_rng(99)
+    nbits = 1200
+    bits = rng.integers(0, 2, size=(8, nbits + 6))
+    coded = np.asarray(convcode.conv_encode(jnp.asarray(bits)))
+    # near-erasure noise: soft values pulled hard toward the midpoint so
+    # a 2-step overlap cannot merge survivors reliably
+    soft = np.clip(coded * 255 + rng.integers(-127, 128, coded.shape),
+                   0, 255)
+    s = jnp.asarray(soft)
+    ref = np.asarray(viterbi.viterbi_decode_scan(s, nbits))
+    got, ok = viterbi_pallas.viterbi_decode_pallas_blocked(
+        s, nbits, n_blocks=8, warmup=2, interpret=True,
+        return_merge_ok=True)
+    got, ok = np.asarray(got), np.asarray(ok)
+    differs = (got != ref).any(axis=-1)
+    # the guard must catch every differing frame (it may over-flag):
+    # a frame that differs yet reports merge_ok would be a silent failure
+    assert not (differs & ok).any(), "silent splice failure"
+    assert differs.any(), "test vector failed to force any mismatch"
+
+    # production warmup at working-SNR noise: exact and unflagged (the
+    # near-erasure vector above keeps over-flagging at any warmup, which
+    # is the guard being conservative where merges genuinely don't settle)
+    soft2 = np.clip(coded * 255 + rng.integers(-60, 61, coded.shape), 0, 255)
+    s2 = jnp.asarray(soft2)
+    ref2 = np.asarray(viterbi.viterbi_decode_scan(s2, nbits))
+    got2, ok2 = viterbi_pallas.viterbi_decode_pallas_blocked(
+        s2, nbits, n_blocks=8, warmup=96, interpret=True,
+        return_merge_ok=True)
+    np.testing.assert_array_equal(np.asarray(got2), ref2)
+    assert np.asarray(ok2).all()
+
+
 def test_blocked_dynamic_lengths():
     """Per-frame dynamic bit counts: frames shorter than the static bound
     decode exactly (their final block chains back from the true frame
