@@ -162,6 +162,82 @@ def run_stream(stream_planar, expected, chunk_feed=4096, prequant=False,
     return best
 
 
+def bench_h2d_roofline(jax, jnp, n_samples=2 << 20, reps=8, passes=3):
+    """Sustained H2D wire bandwidth (MB/s) for planar int16 superstep
+    buffers - the streaming chain's ingest ceiling (VERDICT r3 item 2:
+    state streaming throughput as a fraction of this). Distinct source
+    buffers per put (matching the chain's fresh-chunk pattern), best of
+    `passes` (the tunnel's wire bandwidth is bursty, docs/NOTES_r3.md)."""
+    rng = np.random.default_rng(3)
+    bufs = [(rng.integers(-32768, 32767, n_samples, dtype=np.int16),
+             rng.integers(-32768, 32767, n_samples, dtype=np.int16))
+            for _ in range(reps)]
+    jax.block_until_ready((jnp.asarray(bufs[0][0]),
+                           jnp.asarray(bufs[0][1])))
+    best = 0.0
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        outs = [(jnp.asarray(re), jnp.asarray(im)) for re, im in bufs]
+        jax.block_until_ready(outs)
+        dt = time.perf_counter() - t0
+        del outs
+        best = max(best, reps * 2 * bufs[0][0].nbytes / dt / 1e6)
+    return best
+
+
+def bench_latency(jax, jnp, tx, rate, length, strides, reps=3):
+    """K=1 / auto-K delivery latency (tools/latency_probe.py measurement,
+    now recorded in the bench artifact - VERDICT r3 item 8): wall ms from
+    the push completing a frame's owning superstep to its DecodedPacket."""
+    from fun_ofdm_tpu.config import ChainParams
+    from fun_ofdm_tpu.runtime.chain import ReceiverChain
+
+    payload = np.arange(length, dtype=np.uint8)
+    fre, fim = tx.build_frame_p(jnp.asarray(payload[None, :]), rate)
+    fre = np.asarray(fre)[0].astype(np.float32)
+    fim = np.asarray(fim)[0].astype(np.float32)
+    params = ChainParams(strides_per_step=strides)
+    lats = []
+    for rep in range(reps + 1):  # first rep warms the compile cache
+        chain = ReceiverChain(rates=(rate,), max_length=length,
+                              params=params)
+        halo = chain.window - chain.step
+        pos = 2 * chain.step - halo - 128
+        n = 2 * chain.step
+        s_re = np.zeros(n, np.float32)
+        s_im = np.zeros(n, np.float32)
+        s_re[pos:pos + fre.size] = fre
+        s_im[pos:pos + fim.size] = fim
+        pkts = chain.process_samples((s_re[:n - 4096], s_im[:n - 4096]))
+        t0 = time.perf_counter()
+        pkts = pkts or chain.process_samples(
+            (s_re[n - 4096:], s_im[n - 4096:]))
+        zeros = (np.zeros(4096, np.float32), np.zeros(4096, np.float32))
+        pushed = 0
+        while not pkts and pushed < 100 * chain.step:
+            pkts = chain.process_samples(zeros)
+            pushed += 4096
+        if not pkts:
+            pkts = chain.flush()
+        lat = time.perf_counter() - t0
+        assert pkts and pkts[0].start == pos
+        if rep:
+            lats.append(lat)
+    return sorted(lats)[len(lats) // 2] * 1e3
+
+
+def bench_streaming_cfo(stream_planar, expected, cfo_norm, **chain_kwargs):
+    """Streaming run on a CFO-impaired stream with cfo_correct=True (the
+    native-mode improvement the reference lacks - its CFO loop is dead
+    code, src/timing_sync.cpp:109-112; VERDICT r3 item 9)."""
+    s_re, s_im = stream_planar
+    n = s_re.size
+    ang = (2.0 * np.pi * cfo_norm) * np.arange(n, dtype=np.float64)
+    c, s = np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    rot = (s_re * c - s_im * s, s_re * s + s_im * c)
+    return run_stream(rot, expected, cfo_correct=True, **chain_kwargs)
+
+
 def build_mixed_rate_stream(jax, jnp, tx, length, target_samples):
     """Dense stream cycling through ALL 11 rates (1500-byte frames,
     64-sample guards), tiled to ~target_samples."""
@@ -245,6 +321,24 @@ def main() -> None:
     sc8_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=3,
                          **sc8_kwargs)
 
+    # --- CFO-impaired stream with native-mode correction ------------------
+    n_cfo = unit * 64
+    cfo_kwargs = dict(rates=(rate,), max_length=length,
+                      params=ChainParams(strides_per_step=256))
+    # warm pass: cfo_correct=True decode variants compile fresh
+    bench_streaming_cfo((s_re[:unit * 8], s_im[:unit * 8]), None,
+                        cfo_norm=2e-4, **cfo_kwargs)
+    cfo_sps = bench_streaming_cfo(
+        (s_re[:n_cfo], s_im[:n_cfo]), n_cfo // unit * 8, cfo_norm=2e-4,
+        passes=2, **cfo_kwargs)
+
+    # --- delivery latency (K=1 reference-cadence and auto superstep) ------
+    lat_k1_ms = bench_latency(jax, jnp, tx, rate, length, strides=1)
+    lat_auto_ms = bench_latency(jax, jnp, tx, rate, length, strides=None)
+
+    # --- H2D wire roofline -------------------------------------------------
+    h2d_mbps = bench_h2d_roofline(jax, jnp)
+
     # --- streaming all-rates (the Receiver default config) ---------------
     mixed, n_mixed = build_mixed_rate_stream(
         jax, jnp, tx, length, target_samples=12 << 20)
@@ -275,6 +369,11 @@ def main() -> None:
         "streaming_allrates_samples_per_sec": allrates_sps,
         "streaming_allrates_vs_baseline":
             allrates_sps / REFERENCE_SAMPLES_PER_SEC,
+        "streaming_cfo_samples_per_sec": cfo_sps,
+        "streaming_cfo_vs_baseline": cfo_sps / REFERENCE_SAMPLES_PER_SEC,
+        "latency_k1_ms": lat_k1_ms,
+        "latency_auto_ms": lat_auto_ms,
+        "h2d_roofline_mbps": h2d_mbps,
         "tx_samples_per_sec": tx_sps,
         "tx_vs_baseline": tx_sps / REFERENCE_SAMPLES_PER_SEC,
         "decoded_payload_mbps": payload_mbps,

@@ -91,7 +91,37 @@ static std::vector<std::vector<unsigned char>> run_chain(
 }
 
 int main(int argc, char **argv) {
-  if (argc < 2) { fprintf(stderr, "usage: %s outdir\n", argv[0]); return 1; }
+  if (argc < 2) { fprintf(stderr, "usage: %s outdir | --chain in.c128 out.bin\n", argv[0]); return 1; }
+
+  // --chain mode: run the compiled REFERENCE RX chain on an arbitrary
+  // complex128 sample stream (e.g. AWGN-impaired; tools/ref_compare.py)
+  // and dump every delivered payload as uint32 length + bytes. This is
+  // what makes a head-to-head reference-vs-ours PER comparison possible
+  // on identical noisy samples.
+  if (std::string(argv[1]) == "--chain") {
+    if (argc < 4) { fprintf(stderr, "--chain in.c128 out.bin\n"); return 1; }
+    FILE *f = fopen(argv[2], "rb");
+    if (!f) { perror(argv[2]); return 1; }
+    fseek(f, 0, SEEK_END);
+    long bytes = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    std::vector<cd> stream(bytes / sizeof(cd));
+    if (fread(stream.data(), sizeof(cd), stream.size(), f)
+        != stream.size()) { fclose(f); return 1; }
+    fclose(f);
+    auto frames = run_chain(stream);
+    FILE *o = fopen(argv[3], "wb");
+    if (!o) { perror(argv[3]); return 1; }
+    for (auto &fr : frames) {
+      uint32_t n = (uint32_t)fr.size();
+      fwrite(&n, sizeof(n), 1, o);
+      fwrite(fr.data(), 1, fr.size(), o);
+    }
+    fclose(o);
+    fprintf(stderr, "chain decoded %zu packets\n", frames.size());
+    return 0;
+  }
+
   std::string outdir = argv[1];
 
   // --- per-rate ppdu/frame/demod/chain vectors ---

@@ -25,19 +25,34 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def timed(fn, *args, reps=10):
-    """Median wall time of fn(*args) with device sync, chained reps."""
+def timed(fn, x0, reps=10):
+    """Per-rep wall time of a CHAINED loop: fn(x) -> (out, x_next) where
+    x_next depends on out, so reps serialize on device and the tunnel's
+    ~22 ms blocking round-trip floor (docs/NOTES_r3.md) is paid ONCE per
+    measurement instead of once per rep. Returns (dt_per_rep, last out).
+    """
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
+    out, x = fn(x0)
+    jax.block_until_ready((out, x))
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), out
+        out, x = fn(x)
+    jax.block_until_ready((out, x))
+    dt = (time.perf_counter() - t0) / reps
+    return dt, out
+
+
+def chained(decode):
+    """Wrap out = decode(x) as fn(x) -> (out, x_next) with a data dep."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(x):
+        out = decode(x)
+        dep = jnp.ravel(out)[0].astype(x.dtype)
+        return out, x + dep * 0
+    return jax.jit(fn)
 
 
 def main():
@@ -86,7 +101,7 @@ def main():
     dtypes = (args.dtypes.split(",") if args.dtypes
               else list(vp.METRIC_DTYPES))
     for impl in dtypes:
-        fn = jax.jit(lambda x, impl=impl: vp.viterbi_decode_pallas(
+        fn = chained(lambda x, impl=impl: vp.viterbi_decode_pallas(
             x, args.nbits, metric_dtype=impl))
         try:
             dt, out = timed(fn, s, reps=args.reps)
@@ -148,7 +163,7 @@ def main():
             return dec[::97].astype(jnp.int32).sum()  # force, cheap
 
         if args.split:
-            dt, _ = timed(jax.jit(acs_only), s, reps=args.reps)
+            dt, _ = timed(chained(acs_only), s, reps=args.reps)
             print(f"acs-only: {dt*1e3:8.2f} ms", flush=True)
 
     if args.ablate:
@@ -225,7 +240,7 @@ def main():
                      "minimal", "full-static"):
             vp._acs_kernel = make_kernel(mode)
             try:
-                dt, _ = timed(jax.jit(acs_only), s, reps=args.reps)
+                dt, _ = timed(chained(acs_only), s, reps=args.reps)
                 print(f"ablate[{mode}]: {dt*1e3:8.2f} ms", flush=True)
             except Exception as e:
                 print(f"ablate[{mode}]: FAILED "
@@ -233,10 +248,13 @@ def main():
         vp._acs_kernel = orig_kernel
 
     if args.blocked:
-        fn = jax.jit(lambda x: vp.viterbi_decode_pallas_blocked(
+        fn = chained(lambda x: vp.viterbi_decode_pallas_blocked(
             x, args.nbits, n_blocks=args.blocked, warmup=128,
-            return_merge_ok=True))
-        dt, (out, ok) = timed(fn, s, reps=args.reps)
+            return_merge_ok=True)[0])
+        dt, out = timed(fn, s, reps=args.reps)
+        _, ok = vp.viterbi_decode_pallas_blocked(
+            jnp.asarray(s), args.nbits, n_blocks=args.blocked, warmup=128,
+            return_merge_ok=True)
         got = np.asarray(out)[:n_check]
         exact = bool((got == ref).all())
         print(f"blocked-{args.blocked}: {dt*1e3:8.2f} ms  "
