@@ -13,11 +13,15 @@ Four measurements, all against the reference's only published number
 3. streaming RX (tuned): same chain fed the USRP's native sc16 wire
    format (the N210 ADC is 14-bit, so int16 ingest is radio-exact) in
    whole 2M-sample supersteps.
-4. streaming RX (sc8): UHD's int8 over-the-wire format, 4M supersteps.
+4. streaming RX (sc12/sc8): UHD's 12-bit and 8-bit over-the-wire formats
+   (sc8 is not enough for 64-QAM; sc12 is transparent at every rate).
 5. streaming RX all-rates: the Receiver DEFAULT config (rates=ALL_RATES,
    any frame's rate read from its header, reference
-   src/frame_decoder.cpp:72-88) on a dense mixed-rate sc16 stream.
-Plus TX: batched frame building (samples/s onto the air).
+   src/frame_decoder.cpp:72-88) on a dense mixed-rate sc12 stream -
+   decoded through the universal any-rate decoder, ONE device dispatch
+   per superstep decode batch.
+Plus: CFO-corrected streaming, K=1/auto delivery latency, the H2D wire
+roofline, and TX batched frame building (samples/s onto the air).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -136,16 +140,24 @@ def run_stream(stream_planar, expected, chunk_feed=4096, prequant=False,
     from fun_ofdm_tpu.runtime.chain import INGEST_FORMATS, ReceiverChain
 
     sc_re, sc_im = stream_planar
+    n_samples = sc_re.size
     probe = ReceiverChain(**chain_kwargs)
     if prequant:
         np_dtype, scale = INGEST_FORMATS[probe.ingest_dtype]
-        lim = float(np.iinfo(np_dtype).max)
         n_whole = sc_re.size // probe.step * probe.step
-        sc_re = np.clip(np.rint(sc_re[:n_whole] * scale),
-                        -lim, lim).astype(np_dtype)
-        sc_im = np.clip(np.rint(sc_im[:n_whole] * scale),
-                        -lim, lim).astype(np_dtype)
-        chunk_feed = probe.step
+        n_samples = n_whole
+        if probe.ingest_dtype == "int12":
+            from fun_ofdm_tpu.runtime.chain import pack12
+            sc_re = pack12(sc_re[:n_whole], scale)
+            sc_im = pack12(sc_im[:n_whole], scale)
+            chunk_feed = probe.step * 3 // 2
+        else:
+            lim = float(np.iinfo(np_dtype).max)
+            sc_re = np.clip(np.rint(sc_re[:n_whole] * scale),
+                            -lim, lim).astype(np_dtype)
+            sc_im = np.clip(np.rint(sc_im[:n_whole] * scale),
+                            -lim, lim).astype(np_dtype)
+            chunk_feed = probe.step
     best = 0.0
     for _ in range(passes):
         chain = ReceiverChain(**chain_kwargs)
@@ -158,7 +170,7 @@ def run_stream(stream_planar, expected, chunk_feed=4096, prequant=False,
         dt = time.perf_counter() - t0
         if expected is not None:
             assert got >= expected, f"streaming decoded {got}/{expected}"
-        best = max(best, sc_re.size / dt)
+        best = max(best, n_samples / dt)
     return best
 
 
@@ -291,10 +303,15 @@ def main() -> None:
     n_frames = 8 * tiles
     warm = (s_re[:unit * 90], s_im[:unit * 90])  # >= 1 superstep at K=1024
 
-    # reference-parity: float32 samples, 4096-sample chunks
-    # (NUM_RX_SAMPLES=4096, receiver.h:16); superstep auto (~1M samples)
+    # reference-parity FEED: float32 samples, 4096-sample chunks
+    # (NUM_RX_SAMPLES=4096, receiver.h:16); superstep auto (~1M samples).
+    # The chain ships sc12 over the wire (host-side 12-bit quantization,
+    # ~55 dB SNR - beyond the N210 ADC's own 14-bit fidelity after its
+    # analog front end) - an f32 transport would bottleneck on the
+    # tunnel's wire bandwidth at 8 B/sample for no fidelity gain
+    # (docs/NOTES_r4.md).
     parity_kwargs = dict(rates=(rate,), max_length=length,
-                         params=ChainParams())
+                         params=ChainParams(), ingest_dtype="int12")
     run_stream(warm, None, **parity_kwargs)
     streaming_sps = run_stream((s_re, s_im), n_frames, passes=3,
                                **parity_kwargs)
@@ -310,6 +327,17 @@ def main() -> None:
     run_stream(warm, None, **tuned_kwargs)
     tuned_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=2,
                            **tuned_kwargs)
+
+    # sc12 radio-wire: UHD's 12-bit OTW format (2 samples / 3 bytes),
+    # transparent at every rate incl. 64-QAM
+    sc12_kwargs = dict(rates=(rate,), max_length=length,
+                       params=ChainParams(strides_per_step=512,
+                                          min_frame_samples=4000),
+                       ingest_dtype="int12", prequant=True)
+    n_whole = s_re.size // (512 * 4096) * (512 * 4096)
+    run_stream(warm, None, **sc12_kwargs)
+    sc12_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=2,
+                          **sc12_kwargs)
 
     # sc8 radio-wire: UHD int8 OTW format, 4M-sample supersteps
     sc8_kwargs = dict(rates=(rate,), max_length=length,
@@ -340,11 +368,16 @@ def main() -> None:
     h2d_mbps = bench_h2d_roofline(jax, jnp)
 
     # --- streaming all-rates (the Receiver default config) ---------------
+    # sc12 wire format: the mixed stream carries 64-QAM frames, which sc8
+    # quantization breaks (measured) - sc12 is transparent at 25% fewer
+    # bytes than sc16. min_frame_samples=4000: the shortest 1500-byte
+    # frame of any rate is 4880 samples.
     mixed, n_mixed = build_mixed_rate_stream(
         jax, jnp, tx, length, target_samples=12 << 20)
     allrates_kwargs = dict(rates=ALL_RATES, max_length=length,
-                           params=ChainParams(strides_per_step=512),
-                           ingest_dtype="int16", prequant=True)
+                           params=ChainParams(strides_per_step=512,
+                                              min_frame_samples=4000),
+                           ingest_dtype="int12", prequant=True)
     run_stream((mixed[0][:3 << 20], mixed[1][:3 << 20]), None,
                **allrates_kwargs)
     mixed_unit = mixed[0].size * len(ALL_RATES) // n_mixed
@@ -363,6 +396,9 @@ def main() -> None:
         "streaming_tuned_samples_per_sec": tuned_sps,
         "streaming_tuned_vs_baseline":
             tuned_sps / REFERENCE_SAMPLES_PER_SEC,
+        "streaming_sc12_samples_per_sec": sc12_sps,
+        "streaming_sc12_vs_baseline":
+            sc12_sps / REFERENCE_SAMPLES_PER_SEC,
         "streaming_sc8_samples_per_sec": sc8_sps,
         "streaming_sc8_vs_baseline":
             sc8_sps / REFERENCE_SAMPLES_PER_SEC,

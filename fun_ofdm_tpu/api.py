@@ -96,12 +96,18 @@ class Receiver:
                  rates: tuple[Rate, ...] = ALL_RATES,
                  max_length: int = 1500,
                  cfo_correct: bool = False,
-                 start: bool = True):
+                 start: bool = True,
+                 ingest_dtype: str = "float32",
+                 viterbi_impl: str | None = None,
+                 decode_mode: str = "auto"):
         self.callback = callback
         self.source = source if source is not None else LoopbackRadio(params)
         self.chain = ReceiverChain(rates=rates, max_length=max_length,
                                    params=chain_params,
-                                   cfo_correct=cfo_correct)
+                                   cfo_correct=cfo_correct,
+                                   ingest_dtype=ingest_dtype,
+                                   viterbi_impl=viterbi_impl,
+                                   decode_mode=decode_mode)
         self._chunk = chain_params.chunk_size
         self._running = threading.Event()   # set = not paused
         self._stop = threading.Event()

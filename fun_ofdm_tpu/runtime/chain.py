@@ -77,16 +77,48 @@ DECODE_BUCKETS = (4, 16, 64, 256, 1024)
 #: float32 is bit-parity with the reference's fc64-derived pipeline;
 #: int16 is the USRP's over-the-wire sample format (UHD sc16 -
 #: the N210's ADC is 14-bit, so sc16 ingest is radio-exact) at half the
-#: H2D bytes; int8 (UHD sc8) halves it again but adds ~-35 dB
-#: quantization noise: fine through 16-QAM, marginal for 64-QAM.
+#: H2D bytes; int12 (UHD sc12, 2 samples packed into 3 bytes per planar
+#: component) cuts another 25% with ~55 dB quantization SNR - transparent
+#: even for 64-QAM; int8 (UHD sc8) is the smallest but adds ~-35 dB
+#: quantization noise: fine through 16-QAM, NOT enough for 64-QAM
+#: (measured: 64-QAM frames in a clean mixed stream fail CRC at sc8).
 INGEST_FORMATS = {
     "float32": (np.float32, 1.0),
     "int16": (np.int16, 8192.0),
+    "int12": (np.uint8, 512.0),   # packed: 3 bytes per 2 samples
     "int8": (np.int8, 32.0),
 }
 
-#: canonical wire scale per integer sample dtype (inverse of INGEST_FORMATS)
+#: canonical wire scale per integer sample dtype (inverse of INGEST_FORMATS;
+#: int12's packed uint8 buffers are handled separately - see pack12)
 _WIRE_SCALE = {np.dtype(np.int16): 8192.0, np.dtype(np.int8): 32.0}
+
+
+def pack12(x: np.ndarray, scale: float = 512.0) -> np.ndarray:
+    """Quantize float samples to 12-bit and pack 2 samples into 3 bytes
+    (planar-per-component variant of UHD's sc12 over-the-wire format).
+    x must have even length."""
+    v = np.clip(np.rint(np.asarray(x, np.float64) * scale),
+                -2048, 2047).astype(np.int16) & 0xFFF
+    even, odd = v[0::2], v[1::2]
+    out = np.empty(v.size * 3 // 2, np.uint8)
+    out[0::3] = even & 0xFF
+    out[1::3] = ((even >> 8) & 0xF) | ((odd & 0xF) << 4)
+    out[2::3] = (odd >> 4) & 0xFF
+    return out
+
+
+def unpack12_np(b: np.ndarray, scale: float = 512.0) -> np.ndarray:
+    """Inverse of pack12 -> float32 samples (host side)."""
+    b = np.asarray(b, np.uint8)
+    b0, b1, b2 = (b[0::3].astype(np.int32), b[1::3].astype(np.int32),
+                  b[2::3].astype(np.int32))
+    even = b0 | ((b1 & 0xF) << 8)
+    odd = (b1 >> 4) | (b2 << 4)
+    v = np.empty(even.size * 2, np.int32)
+    v[0::2], v[1::2] = even, odd
+    v -= (v & 0x800) << 1  # sign-extend 12 bits
+    return (v.astype(np.float32) * np.float32(1.0 / scale))
 
 
 def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
@@ -121,7 +153,17 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     _, scale = INGEST_FORMATS[ingest_dtype]
 
     def fn(wr, wi, cr, ci):
-        if ingest_dtype != "float32":
+        if ingest_dtype == "int12":
+            def unpack(b):
+                t = b.astype(jnp.int32).reshape(-1, 3)
+                even = t[:, 0] | ((t[:, 1] & 0xF) << 8)
+                odd = (t[:, 1] >> 4) | (t[:, 2] << 4)
+                v = jnp.stack([even, odd], axis=1).reshape(-1)
+                v = v - ((v & 0x800) << 1)  # sign-extend 12 bits
+                return v.astype(jnp.float32) * np.float32(1.0 / scale)
+            cr = unpack(cr)
+            ci = unpack(ci)
+        elif ingest_dtype != "float32":
             cr = cr.astype(jnp.float32) * np.float32(1.0 / scale)
             ci = ci.astype(jnp.float32) * np.float32(1.0 / scale)
         wr = jnp.concatenate([wr[step:], cr])
@@ -305,7 +347,10 @@ class ReceiverChain:
         analogue is its 6-stage chunk pipeline.
       ingest_dtype: host->device sample format: "float32" (reference
         fc32/fc64 parity), "int16" (UHD sc16 radio wire format, half the
-        ingest bytes) or "int8" (UHD sc8, quarter). See INGEST_FORMATS.
+        ingest bytes), "int12" (UHD sc12: 2 samples packed per 3 bytes,
+        ~55 dB quantization SNR - safe for every rate incl. 64-QAM) or
+        "int8" (UHD sc8, quarter; NOT enough for 64-QAM). See
+        INGEST_FORMATS; int12 buffers are packed uint8 (pack12).
       viterbi_impl: payload Viterbi backend. None (default) honors the
         FUN_OFDM_VITERBI env var, else "auto": the guarded block-overlap
         kernel for small decode buckets with exact re-decode of any frame
@@ -429,8 +474,28 @@ class ReceiverChain:
         """
         if isinstance(samples, tuple):
             n = samples[0].size
-            np_dtype, _ = INGEST_FORMATS[self.ingest_dtype]
-            if (samples[0].dtype == np_dtype and samples[1].dtype == np_dtype
+            np_dtype, scale = INGEST_FORMATS[self.ingest_dtype]
+            if self.ingest_dtype == "int12" \
+                    and samples[0].dtype == np.uint8 \
+                    and samples[1].dtype == np.uint8:
+                # packed sc12 buffers: 3 bytes per 2 samples per component
+                pb = self.step * 3 // 2
+                n = samples[0].size * 2 // 3
+                if (self._rechunk.available == 0
+                        and samples[0].size % pb == 0):
+                    self.stats.samples_in += n
+                    self._t_real += n
+                    for i in range(0, samples[0].size, pb):
+                        self._ingest(samples[0][i:i + pb],
+                                     samples[1][i:i + pb])
+                    return self._drain(force=False)
+                if samples[0].size % 3:
+                    raise ValueError("packed int12 buffers must be a "
+                                     "multiple of 3 bytes")
+                samples = (unpack12_np(samples[0], scale),
+                           unpack12_np(samples[1], scale))
+            elif (samples[0].dtype == np_dtype
+                    and samples[1].dtype == np_dtype
                     and np_dtype != np.float32
                     and self._rechunk.available == 0
                     and n % self.step == 0):
@@ -441,12 +506,14 @@ class ReceiverChain:
                     self._ingest(samples[0][i:i + self.step],
                                  samples[1][i:i + self.step])
                 return self._drain(force=False)
-            # integer wire-format buffers that miss the fast path (length
-            # not a superstep multiple, residue buffered, or mixed dtypes)
-            # must be rescaled to float32 before the rechunker, or _ingest
-            # would quantize their raw magnitudes a second time (ADVICE r3)
-            samples = (_dequantize_wire(np.asarray(samples[0])),
-                       _dequantize_wire(np.asarray(samples[1])))
+            else:
+                # integer wire-format buffers that miss the fast path
+                # (length not a superstep multiple, residue buffered, or
+                # mixed dtypes) must be rescaled to float32 before the
+                # rechunker, or _ingest would quantize their raw
+                # magnitudes a second time (ADVICE r3)
+                samples = (_dequantize_wire(np.asarray(samples[0])),
+                           _dequantize_wire(np.asarray(samples[1])))
         else:
             n = np.asarray(samples).size
         self._rechunk.push(samples)
@@ -487,7 +554,11 @@ class ReceiverChain:
             z = jnp.zeros(self.window, jnp.float32)
             self._dev_win = (z, z)
         dtype, scale = INGEST_FORMATS[self.ingest_dtype]
-        if self.ingest_dtype != "float32" and c_re.dtype != dtype:
+        if self.ingest_dtype == "int12":
+            if c_re.dtype != np.uint8:
+                c_re = pack12(c_re, scale)
+                c_im = pack12(c_im, scale)
+        elif self.ingest_dtype != "float32" and c_re.dtype != dtype:
             lim = float(np.iinfo(dtype).max)
             c_re = np.clip(np.rint(c_re * scale), -lim, lim).astype(dtype)
             c_im = np.clip(np.rint(c_im * scale), -lim, lim).astype(dtype)

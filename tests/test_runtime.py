@@ -444,6 +444,54 @@ def test_chain_viterbi_impl_knob():
             == [(90, payload.tobytes())]
 
 
+def test_pack12_roundtrip():
+    """sc12 pack/unpack is lossless for 12-bit-range values."""
+    from fun_ofdm_tpu.runtime.chain import pack12, unpack12_np
+
+    rng = np.random.default_rng(15)
+    x = rng.uniform(-3.9, 3.9, 4096).astype(np.float32)
+    packed = pack12(x)
+    assert packed.dtype == np.uint8 and packed.size == x.size * 3 // 2
+    back = unpack12_np(packed)
+    np.testing.assert_allclose(back, np.clip(np.rint(x * 512), -2048, 2047)
+                               / 512.0, atol=1e-6)
+
+
+def test_chain_int12_ingest_qam64():
+    """sc12 ingest decodes 64-QAM loopback (the reason it exists: sc8
+    cannot), on both the packed fast path and unaligned packed buffers."""
+    from fun_ofdm_tpu.runtime.chain import pack12
+
+    rng = np.random.default_rng(16)
+    payload = rng.integers(0, 256, 90, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_3_4_QAM64))
+    params = ChainParams(chunk_size=1024, strides_per_step=4)  # step 4096
+    stream = np.zeros(16384, np.complex64)
+    stream[700:700 + frame.size] = frame
+    q_re = pack12(stream.real.astype(np.float32))
+    q_im = pack12(stream.imag.astype(np.float32))
+
+    # packed fast path: whole supersteps (step*3//2 bytes)
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM64,), max_length=90,
+                          params=params, ingest_dtype="int12")
+    pb = chain.step * 3 // 2
+    pkts = []
+    for i in range(0, q_re.size, pb):
+        pkts += chain.process_samples((q_re[i:i + pb], q_im[i:i + pb]))
+    pkts += chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(700, payload.tobytes())]
+
+    # unaligned packed buffers: host unpack + rechunk
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM64,), max_length=90,
+                          params=params, ingest_dtype="int12")
+    pkts = []
+    for i in range(0, q_re.size, 999):  # multiple of 3, not of pb
+        pkts += chain.process_samples((q_re[i:i + 999], q_im[i:i + 999]))
+    pkts += chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(700, payload.tobytes())]
+
+
 def test_chain_decode_bucket_padding_many_frames():
     """More frames than the smallest decode bucket in one superstep: the
     job is padded to a larger bucket and every frame still decodes once
