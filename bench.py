@@ -352,7 +352,8 @@ def main() -> None:
     # --- CFO-impaired stream with native-mode correction ------------------
     n_cfo = unit * 64
     cfo_kwargs = dict(rates=(rate,), max_length=length,
-                      params=ChainParams(strides_per_step=256))
+                      params=ChainParams(strides_per_step=256),
+                      ingest_dtype="int12")
     # warm pass: cfo_correct=True decode variants compile fresh
     bench_streaming_cfo((s_re[:unit * 8], s_im[:unit * 8]), None,
                         cfo_norm=2e-4, **cfo_kwargs)

@@ -39,6 +39,15 @@ def extract_symbols_p(samples: CArr, start, num_symbols: int):
     samples: planar (re, im) of (..., n); start: (...,) int32 preamble-start
     offsets (traced OK); num_symbols: static data-symbol count (excl SIGNAL).
     Returns (lts (..., 2, 64), syms (..., 1+num_symbols, 64)), both planar.
+
+    Uses batched `dynamic_slice` + pad/reshape (NOT an advanced gather):
+    measured in the fused capture megagraph, gather-based extraction is
+    ~5x slower than the slice form, even though a standalone
+    microbenchmark says the opposite - XLA fuses the slice into its
+    consumers but materializes the gather (docs/NOTES_r4.md). The slice
+    start is clamped, so callers pad their streams (a genuinely
+    truncated frame reads edge garbage and fails CRC, same as the
+    reference fed a truncated stream).
     """
     start = jnp.asarray(start, jnp.int32)
     nsym_total = 1 + num_symbols
@@ -46,14 +55,13 @@ def extract_symbols_p(samples: CArr, start, num_symbols: int):
     # slice exactly through it (slicing nsym_total*80 would run 8 samples
     # past the frame end and dynamic_slice would clamp, shifting everything)
     body_len = (nsym_total - 1) * 80 + 64
-    gather_idx = (80 * jnp.arange(nsym_total)[:, None]
-                  + jnp.arange(64)[None, :])  # (S, 64)
 
     def slice_one(x, p):
         lts1 = jax.lax.dynamic_slice(x, (p + pre.LTS1_OFFSET,), (64,))
         lts2 = jax.lax.dynamic_slice(x, (p + pre.LTS2_OFFSET,), (64,))
         body = jax.lax.dynamic_slice(x, (p + pre.SYMBOL0_OFFSET,), (body_len,))
-        return jnp.stack([lts1, lts2]), body[gather_idx]
+        body = jnp.concatenate([body, jnp.zeros(16, x.dtype)])
+        return jnp.stack([lts1, lts2]), body.reshape(nsym_total, 80)[:, :64]
 
     flat_batch = samples[0].shape[:-1]
     fn = slice_one
