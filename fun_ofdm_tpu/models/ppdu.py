@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import convcode, crc32, interleave, puncture, qam, scramble, viterbi
-from ..rates import Rate, RateParams, VALID_RATE_FIELDS, from_rate_field, params_for
+from ..rates import Rate, VALID_RATE_FIELDS, params_for
 from ..utils.bits import bits_to_bytes, bytes_to_bits, np_bytes_to_bits
 
 HEADER_BITS = 18  # rate(4)+reserved(1)+length(12)+parity(1) data bits
