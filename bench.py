@@ -384,7 +384,7 @@ def main() -> None:
     mixed_unit = mixed[0].size * len(ALL_RATES) // n_mixed
     n_whole = mixed[0].size // (512 * 4096) * (512 * 4096)
     allrates_sps = run_stream(
-        mixed, n_whole // mixed_unit * len(ALL_RATES), passes=2,
+        mixed, n_whole // mixed_unit * len(ALL_RATES), passes=3,
         **allrates_kwargs)
 
     print(json.dumps({

@@ -664,3 +664,56 @@ def test_chain_min_frame_samples_capacity():
                           params=params)
     small = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=1500)
     assert chain.max_frames < small.max_frames
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_chain_fuzz_matches_anyrate_capture_oracle(seed):
+    """Randomized consistency: random frames (random rates, lengths,
+    gaps) streamed through the chain in random chunk sizes must deliver
+    exactly the packets the one-shot universal capture decoder finds on
+    the same stream (same detector, same decoder - the chain's
+    chunking/superstep/ownership machinery must be transparent)."""
+    import jax
+    from fun_ofdm_tpu.models import frontend
+
+    rng = np.random.default_rng(100 + seed)
+    rates = (Rate.RATE_1_2_BPSK, Rate.RATE_1_2_QPSK, Rate.RATE_3_4_QAM16,
+             Rate.RATE_2_3_QAM64)
+    max_length = 64
+    n = 24000
+    stream = np.zeros(n, np.complex64)
+    planted = []
+    pos = int(rng.integers(40, 400))
+    from fun_ofdm_tpu.rates import params_for
+    while True:
+        r = rates[rng.integers(len(rates))]
+        ln = int(rng.integers(4, max_length + 1))
+        frame = np.asarray(tx.build_frame(
+            jnp.asarray(rng.integers(0, 256, ln, dtype=np.uint8)), r))
+        if pos + frame.size + 600 > n:
+            break
+        stream[pos:pos + frame.size] = frame
+        planted.append(pos)
+        pos += frame.size + int(rng.integers(80, 700))
+
+    # oracle: one-shot universal capture decode over the padded stream
+    oracle = frontend.receive_capture_anyrate_p(
+        (jnp.asarray(stream.real), jnp.asarray(stream.imag)),
+        rates, max_length, max_frames=len(planted) + 4)
+    ok = np.asarray(oracle["crc_ok"])
+    want = sorted((int(s), bytes(p[:l]))
+                  for s, l, p in zip(np.asarray(oracle["starts"])[ok],
+                                     np.asarray(oracle["hdr_length"])[ok],
+                                     np.asarray(oracle["payload"])[ok]
+                                     .astype(np.uint8)))
+    assert len(want) == len(planted)  # clean loopback: oracle finds all
+
+    chain = ReceiverChain(rates=rates, max_length=max_length)
+    pkts, i = [], 0
+    while i < n:
+        sz = int(rng.integers(1, 6000))
+        pkts += chain.process_samples(stream[i:i + sz])
+        i += sz
+    pkts += chain.flush()
+    got = sorted((p.start, p.payload) for p in pkts)
+    assert got == want
