@@ -97,26 +97,28 @@ _WIRE_SCALE = {np.dtype(np.int16): 8192.0, np.dtype(np.int8): 32.0}
 def pack12(x: np.ndarray, scale: float = 512.0) -> np.ndarray:
     """Quantize float samples to 12-bit and pack 2 samples into 3 bytes
     (planar-per-component variant of UHD's sc12 over-the-wire format).
-    x must have even length."""
+    Operates on the last axis (even length); leading axes (channels)
+    pass through."""
     v = np.clip(np.rint(np.asarray(x, np.float64) * scale),
                 -2048, 2047).astype(np.int16) & 0xFFF
-    even, odd = v[0::2], v[1::2]
-    out = np.empty(v.size * 3 // 2, np.uint8)
-    out[0::3] = even & 0xFF
-    out[1::3] = ((even >> 8) & 0xF) | ((odd & 0xF) << 4)
-    out[2::3] = (odd >> 4) & 0xFF
+    even, odd = v[..., 0::2], v[..., 1::2]
+    out = np.empty(v.shape[:-1] + (v.shape[-1] * 3 // 2,), np.uint8)
+    out[..., 0::3] = even & 0xFF
+    out[..., 1::3] = ((even >> 8) & 0xF) | ((odd & 0xF) << 4)
+    out[..., 2::3] = (odd >> 4) & 0xFF
     return out
 
 
 def unpack12_np(b: np.ndarray, scale: float = 512.0) -> np.ndarray:
-    """Inverse of pack12 -> float32 samples (host side)."""
+    """Inverse of pack12 -> float32 samples (host side, last axis)."""
     b = np.asarray(b, np.uint8)
-    b0, b1, b2 = (b[0::3].astype(np.int32), b[1::3].astype(np.int32),
-                  b[2::3].astype(np.int32))
+    b0, b1, b2 = (b[..., 0::3].astype(np.int32),
+                  b[..., 1::3].astype(np.int32),
+                  b[..., 2::3].astype(np.int32))
     even = b0 | ((b1 & 0xF) << 8)
     odd = (b1 >> 4) | (b2 << 4)
-    v = np.empty(even.size * 2, np.int32)
-    v[0::2], v[1::2] = even, odd
+    v = np.empty(b0.shape[:-1] + (b0.shape[-1] * 2,), np.int32)
+    v[..., 0::2], v[..., 1::2] = even, odd
     v -= (v & 0x800) << 1  # sign-extend 12 bits
     return (v.astype(np.float32) * np.float32(1.0 / scale))
 
@@ -134,12 +136,15 @@ def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn(step: int, max_frames: int, params: ChainParams,
-                   ingest_dtype: str):
+                   ingest_dtype: str, channels: int = 1):
     """Fused superstep: roll the device window by the incoming samples AND
     run the detection+header pass. Returns (window_re, window_im,
-    header_block) where header_block is ONE flat int32 array — rows
-    [starts, valid, rate_field, hdr_length, header_ok] padded to
-    FETCH_PAD_BYTES. One dispatch and one prefetched fetch per superstep.
+    header_block) where header_block is ONE flat int32 array — per
+    channel, rows [starts, valid, rate_field, hdr_length, header_ok,
+    drop] — padded to FETCH_PAD_BYTES. One dispatch and one prefetched
+    fetch per superstep, regardless of channel count (channels > 1 vmaps
+    the detection+header pass over the leading axis: the streaming
+    analogue of the capture path's multi-channel geometry).
 
     Module-level + lru_cache so every ReceiverChain with the same config
     shares one traced/compiled function (a per-instance closure would
@@ -152,13 +157,28 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     ds = step + DETECT_LEAD
     _, scale = INGEST_FORMATS[ingest_dtype]
 
+    def headers(wr, wi):
+        h = frontend.decode_headers_p(
+            (wr[..., :ds], wi[..., :ds]), max_frames=max_frames,
+            params=params)
+        drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
+            h["detect_dropped"])
+        return jnp.concatenate([jnp.stack([
+            h["starts"].astype(jnp.int32),
+            h["valid"].astype(jnp.int32),
+            h["rate_field"].astype(jnp.int32),
+            h["hdr_length"].astype(jnp.int32),
+            h["header_ok"].astype(jnp.int32),
+        ]), drop_row[None, :]])                  # (6, max_frames)
+
     def fn(wr, wi, cr, ci):
         if ingest_dtype == "int12":
             def unpack(b):
-                t = b.astype(jnp.int32).reshape(-1, 3)
-                even = t[:, 0] | ((t[:, 1] & 0xF) << 8)
-                odd = (t[:, 1] >> 4) | (t[:, 2] << 4)
-                v = jnp.stack([even, odd], axis=1).reshape(-1)
+                t = b.astype(jnp.int32).reshape(*b.shape[:-1], -1, 3)
+                even = t[..., 0] | ((t[..., 1] & 0xF) << 8)
+                odd = (t[..., 1] >> 4) | (t[..., 2] << 4)
+                v = jnp.stack([even, odd], axis=-1).reshape(
+                    *b.shape[:-1], -1)
                 v = v - ((v & 0x800) << 1)  # sign-extend 12 bits
                 return v.astype(jnp.float32) * np.float32(1.0 / scale)
             cr = unpack(cr)
@@ -166,21 +186,12 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
         elif ingest_dtype != "float32":
             cr = cr.astype(jnp.float32) * np.float32(1.0 / scale)
             ci = ci.astype(jnp.float32) * np.float32(1.0 / scale)
-        wr = jnp.concatenate([wr[step:], cr])
-        wi = jnp.concatenate([wi[step:], ci])
-        h = frontend.decode_headers_p(
-            (wr[:ds], wi[:ds]), max_frames=max_frames, params=params)
-        # row 5: element 0 carries the device-side detection-event drop
-        # count (blocked extractor per-block cap; frontend._BLOCK_CAP)
-        drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
-            h["detect_dropped"])
-        flat = jnp.concatenate([jnp.stack([
-            h["starts"].astype(jnp.int32),
-            h["valid"].astype(jnp.int32),
-            h["rate_field"].astype(jnp.int32),
-            h["hdr_length"].astype(jnp.int32),
-            h["header_ok"].astype(jnp.int32),
-        ]), drop_row[None, :]]).reshape(-1)
+        wr = jnp.concatenate([wr[..., step:], cr], axis=-1)
+        wi = jnp.concatenate([wi[..., step:], ci], axis=-1)
+        if channels > 1:
+            flat = jax.vmap(headers)(wr, wi).reshape(-1)
+        else:
+            flat = headers(wr, wi).reshape(-1)
         pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
         return wr, wi, jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
 
@@ -282,8 +293,10 @@ class DecodedPacket:
     payload: bytes
     rate: Rate
     length: int
-    #: preamble start position in the global sample stream
+    #: preamble start position in the global (per-channel) sample stream
     start: int
+    #: channel index (multi-channel chains; 0 for single-channel)
+    channel: int = 0
 
     def __bytes__(self) -> bytes:
         return self.payload
@@ -364,6 +377,12 @@ class ReceiverChain:
         cheaper single-rate decoder otherwise. "universal" / "per-rate"
         force either. Per-rate on a mixed stream issues one dispatch per
         (rate, bucket) pair — up to 11 per superstep.
+      channels: number of synchronized sample streams (default 1). With
+        channels=C, process_samples takes (C, n) complex or planar
+        buffers (one radio clock, C front-ends — a multi-antenna site or
+        C co-located radios), detection+headers run for all channels in
+        the SAME single device dispatch per superstep, and DecodedPacket
+        carries its channel index. The reference is single-channel.
 
     process_samples() accepts any-length complex or planar chunks, exactly
     like receiver_chain::process_samples (src/receiver_chain.cpp:106).
@@ -377,7 +396,8 @@ class ReceiverChain:
                  pipeline_depth: int = 2,
                  ingest_dtype: str = "float32",
                  viterbi_impl: str | None = None,
-                 decode_mode: str = "auto"):
+                 decode_mode: str = "auto",
+                 channels: int = 1):
         if max_length > MAX_FRAME_SIZE:
             raise ValueError(f"max_length > MAX_FRAME_SIZE ({MAX_FRAME_SIZE})")
         if ingest_dtype not in INGEST_FORMATS:
@@ -388,6 +408,9 @@ class ReceiverChain:
         self.params = params
         self.cfo_correct = bool(cfo_correct)
         self.ingest_dtype = ingest_dtype
+        self.channels = int(channels)
+        if self.channels < 1:
+            raise ValueError("channels must be >= 1")
         if viterbi_impl is None:
             viterbi_impl = os.environ.get("FUN_OFDM_VITERBI") or "auto"
         self.viterbi_impl = viterbi_impl
@@ -431,7 +454,12 @@ class ReceiverChain:
         self.stats = ChainStats()
 
         # host side: slice arbitrary pushes into exact superstep chunks
-        self._rechunk = native.Chunker(self.step, self.step)
+        # (single-channel: the native chunker; multi-channel: a python
+        # list-accumulator over the (C, n) axis)
+        self._rechunk = native.Chunker(self.step, self.step) \
+            if self.channels == 1 else None
+        self._mc_buf: list = []          # list of (C, k) float32 pairs
+        self._mc_avail = 0
         # device side: rolling window state
         self._dev_win = None          # planar (window,) device arrays
         self._rolls = 0               # supersteps ingested (incl. pad)
@@ -444,7 +472,7 @@ class ReceiverChain:
 
     def _step_fn(self):
         return _build_step_fn(self.step, self.max_frames, self.params,
-                              self.ingest_dtype)
+                              self.ingest_dtype, self.channels)
 
     def _decode_fn(self, rate: Rate | None, bucket: int,
                    exact: bool = False):
@@ -472,6 +500,8 @@ class ReceiverChain:
         than the one whose samples completed them (pipelining + superstep
         batching); flush() drains everything.
         """
+        if self.channels > 1:
+            return self._process_multichannel(samples)
         if isinstance(samples, tuple):
             n = samples[0].size
             np_dtype, scale = INGEST_FORMATS[self.ingest_dtype]
@@ -526,18 +556,103 @@ class ReceiverChain:
             self._ingest(chunk[0], chunk[1])
         return self._drain(force=False)
 
+    def _mc_take(self, k: int):
+        """Pop k samples per channel from the multi-channel accumulator."""
+        taken_re, taken_im, got = [], [], 0
+        while got < k:
+            re, im = self._mc_buf[0]
+            need = k - got
+            if re.shape[-1] <= need:
+                taken_re.append(re)
+                taken_im.append(im)
+                got += re.shape[-1]
+                self._mc_buf.pop(0)
+            else:
+                taken_re.append(re[:, :need])
+                taken_im.append(im[:, :need])
+                self._mc_buf[0] = (re[:, need:], im[:, need:])
+                got = k
+        self._mc_avail -= k
+        return (np.concatenate(taken_re, axis=-1),
+                np.concatenate(taken_im, axis=-1))
+
+    def _process_multichannel(self, samples) -> list[DecodedPacket]:
+        """process_samples for channels > 1: (C, n) complex or planar
+        buffers, same wire formats and fast paths as single-channel.
+        Every channel advances in lockstep (one radio clock, C antennas/
+        front-ends - the streaming analogue of the capture path's
+        multi-channel geometry); packets carry their channel index."""
+        if not isinstance(samples, tuple):
+            arr = np.asarray(samples)
+            samples = (np.ascontiguousarray(arr.real, dtype=np.float32),
+                       np.ascontiguousarray(arr.imag, dtype=np.float32))
+        re, im = np.asarray(samples[0]), np.asarray(samples[1])
+        if re.ndim != 2 or re.shape[0] != self.channels:
+            raise ValueError(
+                f"multi-channel chain expects (channels={self.channels}, n)"
+                " buffers")
+        np_dtype, scale = INGEST_FORMATS[self.ingest_dtype]
+        if self.ingest_dtype == "int12" and re.dtype == np.uint8 \
+                and im.dtype == np.uint8:
+            pb = self.step * 3 // 2
+            n = re.shape[-1] * 2 // 3
+            if self._mc_avail == 0 and re.shape[-1] % pb == 0:
+                self.stats.samples_in += n * self.channels
+                self._t_real += n
+                for i in range(0, re.shape[-1], pb):
+                    self._ingest(re[:, i:i + pb], im[:, i:i + pb])
+                return self._drain(force=False)
+            if re.shape[-1] % 3:
+                raise ValueError("packed int12 buffers must be a "
+                                 "multiple of 3 bytes")
+            re = unpack12_np(re, scale)
+            im = unpack12_np(im, scale)
+        elif (re.dtype == np_dtype and im.dtype == np_dtype
+                and np_dtype != np.float32
+                and self._mc_avail == 0
+                and re.shape[-1] % self.step == 0):
+            # pre-quantized fast path: exact supersteps, zero-copy
+            self.stats.samples_in += re.size
+            self._t_real += re.shape[-1]
+            for i in range(0, re.shape[-1], self.step):
+                self._ingest(re[:, i:i + self.step],
+                             im[:, i:i + self.step])
+            return self._drain(force=False)
+        else:
+            re = _dequantize_wire(re)
+            im = _dequantize_wire(im)
+        re = np.ascontiguousarray(re, dtype=np.float32)
+        im = np.ascontiguousarray(im, dtype=np.float32)
+        self.stats.samples_in += re.size
+        self._t_real += re.shape[-1]
+        self._mc_buf.append((re, im))
+        self._mc_avail += re.shape[-1]
+        while self._mc_avail >= self.step:
+            cre, cim = self._mc_take(self.step)
+            self._ingest(cre, cim)
+        return self._drain(force=False)
+
     def flush(self) -> list[DecodedPacket]:
         """Drain buffered samples (zero-padding the tail) at stream end."""
         if self._t_real == 0:
             # nothing real ever arrived: don't force compilation of the
             # step fn just to roll zeros (ADVICE r2)
             return []
-        tail = self._rechunk.pop(pad=True)
-        if tail is not None:
-            self._ingest(tail[0], tail[1])
+        if self.channels == 1:
+            tail = self._rechunk.pop(pad=True)
+            if tail is not None:
+                self._ingest(tail[0], tail[1])
+            zeros = np.zeros(self.step, np.float32)
+        else:
+            if self._mc_avail:
+                re, im = self._mc_take(self._mc_avail)
+                pad = self.step - re.shape[-1]
+                z = np.zeros((self.channels, pad), np.float32)
+                self._ingest(np.concatenate([re, z], axis=-1),
+                             np.concatenate([im, z], axis=-1))
+            zeros = np.zeros((self.channels, self.step), np.float32)
         # keep rolling zero supersteps until every real sample's owned
         # window has been processed
-        zeros = np.zeros(self.step, np.float32)
         while self._rolls * self.step - self.window + self.step \
                 < self._t_real:
             self._ingest(zeros, zeros)
@@ -551,7 +666,9 @@ class ReceiverChain:
         import jax.numpy as jnp
 
         if self._dev_win is None:
-            z = jnp.zeros(self.window, jnp.float32)
+            shape = (self.window,) if self.channels == 1 \
+                else (self.channels, self.window)
+            z = jnp.zeros(shape, jnp.float32)
             self._dev_win = (z, z)
         dtype, scale = INGEST_FORMATS[self.ingest_dtype]
         if self.ingest_dtype == "int12":
@@ -583,30 +700,36 @@ class ReceiverChain:
         is_ready = getattr(arr, "is_ready", None)
         return bool(is_ready()) if is_ready is not None else False
 
-    def _dispatch_one(self, win, rate: Rate | None, starts, idx, jobs
-                      ) -> None:
-        """Dispatch decode jobs for slot indices idx, padded to fixed
-        buckets so frame count never mints a fresh jit shape; overflow
-        splits into max-bucket jobs."""
+    def _win_ch(self, win, ch: int):
+        """The channel-ch planar window view (identity for 1 channel)."""
+        if self.channels == 1:
+            return win
+        return (win[0][ch], win[1][ch])
+
+    def _dispatch_one(self, win, ch: int, rate: Rate | None, starts, idx,
+                      jobs) -> None:
+        """Dispatch decode jobs for slot indices idx of channel ch, padded
+        to fixed buckets so frame count never mints a fresh jit shape;
+        overflow splits into max-bucket jobs."""
         import jax.numpy as jnp
 
+        wch = self._win_ch(win, ch)
         for lo in range(0, idx.size, DECODE_BUCKETS[-1]):
             part = idx[lo:lo + DECODE_BUCKETS[-1]]
             bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
             padded = np.full(bucket, starts[part[0]], np.int32)
             padded[:part.size] = starts[part]
             out = self._decode_fn(rate, bucket)(
-                win[0], win[1], jnp.asarray(padded))
+                wch[0], wch[1], jnp.asarray(padded))
             copy_async = getattr(out, "copy_to_host_async", None)
             if copy_async is not None:
                 copy_async()
-            jobs.append((rate, part, out))
+            jobs.append((rate, ch, part, out))
 
-    def _dispatch_decodes(self, gpos, win, starts, owned, fields,
-                          lengths) -> None:
-        """Queue batched payload decodes for one superstep's owned frames
+    def _dispatch_decodes(self, win, ch, starts, owned, fields,
+                          lengths, jobs) -> None:
+        """Queue batched payload decodes for one channel's owned frames
         (stage 2 dispatch; fetched by a later _drain)."""
-        jobs = []
         known = np.isin(fields, list(self._valid_fields)) & owned
         self.stats.unknown_rate += int((owned & ~known).sum())
         over = known & (lengths > self.max_length)
@@ -617,18 +740,16 @@ class ReceiverChain:
             # ONE mixed-rate dispatch per bucket: every frame decodes at
             # its header's rate inside the same jitted graph
             if sel_all.any():
-                self._dispatch_one(win, None, starts,
+                self._dispatch_one(win, ch, None, starts,
                                    np.nonzero(sel_all)[0], jobs)
         else:
             for field_val in np.unique(fields[sel_all]):
                 rate = self._valid_fields.get(int(field_val))
                 sel = sel_all & (fields == field_val)
-                self._dispatch_one(win, rate, starts,
+                self._dispatch_one(win, ch, rate, starts,
                                    np.nonzero(sel)[0], jobs)
-        if jobs:
-            self._dec_q.append((gpos, win, starts, jobs))
 
-    def _redecode_exact(self, win, rate: Rate | None,
+    def _redecode_exact(self, win, ch: int, rate: Rate | None,
                         starts_bad) -> np.ndarray:
         """Re-decode merge-guard-flagged frames with the exact Viterbi.
 
@@ -637,6 +758,7 @@ class ReceiverChain:
         the 3.1 Mbit adversarial sweep, docs/NOTES_r3.md)."""
         import jax.numpy as jnp
 
+        wch = self._win_ch(win, ch)
         row = self.max_length + 5
         outs = []
         for lo in range(0, starts_bad.size, DECODE_BUCKETS[-1]):
@@ -645,15 +767,17 @@ class ReceiverChain:
             padded = np.full(bucket, part[0], np.int32)
             padded[:part.size] = part
             out = self._decode_fn(rate, bucket, exact=True)(
-                win[0], win[1], jnp.asarray(padded))
+                wch[0], wch[1], jnp.asarray(padded))
             outs.append(np.asarray(out)[: part.size * row].reshape(-1, row))
         return np.concatenate(outs)
 
-    def _collect_decodes(self, gpos, win, starts, jobs) -> list[DecodedPacket]:
+    def _collect_decodes(self, gpos, win, starts_all, jobs
+                         ) -> list[DecodedPacket]:
         """Sync one superstep's decode jobs into DecodedPackets."""
         wpkts: list[DecodedPacket] = []
         t1 = time.perf_counter()
-        for rate, idx, out in jobs:
+        for rate, ch, idx, out in jobs:
+            starts = starts_all[ch]
             row = self.max_length + 5
             packed = np.asarray(out)[: idx.size * row].reshape(-1, row)
             exact = packed[:, self.max_length + 3].astype(bool)
@@ -664,7 +788,7 @@ class ReceiverChain:
                 self.stats.viterbi_fallbacks += int(bad.size)
                 packed = packed.copy()
                 packed[bad] = self._redecode_exact(
-                    win, rate, starts[idx[bad]].astype(np.int32))
+                    win, ch, rate, starts[idx[bad]].astype(np.int32))
             payloads = packed[:, :self.max_length]
             crc_ok = packed[:, self.max_length].astype(bool)
             hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
@@ -687,9 +811,10 @@ class ReceiverChain:
                     rate=(rate if rate is not None
                           else self._valid_fields[int(rfield[k])]),
                     length=n,
-                    start=gpos + int(starts[idx[k]])))
+                    start=gpos + int(starts[idx[k]]),
+                    channel=ch))
         self.stats.time_decode_s += time.perf_counter() - t1
-        wpkts.sort(key=lambda p: p.start)
+        wpkts.sort(key=lambda p: (p.start, p.channel))
         return wpkts
 
     def _drain(self, force: bool) -> list[DecodedPacket]:
@@ -708,50 +833,59 @@ class ReceiverChain:
                                or self._ready(self._hdr_q[0][2])):
             gpos, win, hdr = self._hdr_q.popleft()
             t0 = time.perf_counter()
-            h = np.asarray(hdr)[: 6 * self.max_frames].reshape(6, -1)
+            hs = np.asarray(hdr)[: self.channels * 6 * self.max_frames]
+            hs = hs.reshape(self.channels, 6, self.max_frames)
             self.stats.time_headers_s += time.perf_counter() - t0
-            starts = h[0]
-            valid = h[1].astype(bool)
-            fields = h[2]
-            lengths = h[3]
-            header_ok = h[4].astype(bool)
-            dropped = int(h[5, 0])
-            if dropped:
-                # blocked-extractor per-block cap overflowed: `dropped`
-                # detection events never reached the slot list
-                self.stats.detect_dropped += dropped
-                if self.verbose:
-                    print(f"Detection events dropped ({dropped})",
-                          file=sys.stderr)
-            if valid.all():
-                # every detection slot filled: frames beyond capacity in
-                # this superstep were silently missed (reference has no cap)
-                self.stats.detect_saturated += 1
-                if self.verbose:
-                    print(f"Detection saturated ({self.max_frames} slots)",
-                          file=sys.stderr)
-            owned = header_ok & (starts >= 0) & (starts < self.step) \
-                & (gpos + starts >= 0)
-            if owned.any():
-                # dedup equal starts: a noise-fragmented plateau can emit
-                # two events resolving to the same LTS pair (ADVICE r2) —
-                # without this the same packet would be delivered twice
-                ow = np.nonzero(owned)[0]
-                _, first = np.unique(starts[ow], return_index=True)
-                if first.size != ow.size:
-                    self.stats.dup_starts += ow.size - first.size
-                    dup = np.ones(ow.size, bool)
-                    dup[first] = False
-                    owned[ow[dup]] = False
-            if not owned.any():
-                continue
-            self.stats.headers_ok += int(owned.sum())
-            self._dispatch_decodes(gpos, win, starts, owned, fields, lengths)
+            jobs: list = []
+            starts_all = hs[:, 0, :]
+            for ch in range(self.channels):
+                h = hs[ch]
+                starts = h[0]
+                valid = h[1].astype(bool)
+                fields = h[2]
+                lengths = h[3]
+                header_ok = h[4].astype(bool)
+                dropped = int(h[5, 0])
+                if dropped:
+                    # blocked-extractor per-block cap overflowed:
+                    # `dropped` events never reached the slot list
+                    self.stats.detect_dropped += dropped
+                    if self.verbose:
+                        print(f"Detection events dropped ({dropped})",
+                              file=sys.stderr)
+                if valid.all():
+                    # every detection slot filled: frames beyond capacity
+                    # were silently missed (reference has no cap)
+                    self.stats.detect_saturated += 1
+                    if self.verbose:
+                        print("Detection saturated "
+                              f"({self.max_frames} slots)", file=sys.stderr)
+                owned = header_ok & (starts >= 0) & (starts < self.step) \
+                    & (gpos + starts >= 0)
+                if owned.any():
+                    # dedup equal starts: a noise-fragmented plateau can
+                    # emit two events resolving to the same LTS pair
+                    # (ADVICE r2) — without this the same packet would be
+                    # delivered twice
+                    ow = np.nonzero(owned)[0]
+                    _, first = np.unique(starts[ow], return_index=True)
+                    if first.size != ow.size:
+                        self.stats.dup_starts += ow.size - first.size
+                        dup = np.ones(ow.size, bool)
+                        dup[first] = False
+                        owned[ow[dup]] = False
+                if not owned.any():
+                    continue
+                self.stats.headers_ok += int(owned.sum())
+                self._dispatch_decodes(win, ch, starts, owned, fields,
+                                       lengths, jobs)
+            if jobs:
+                self._dec_q.append((gpos, win, starts_all, jobs))
 
         packets: list[DecodedPacket] = []
         while self._dec_q and (len(self._dec_q) > keep
                                or all(self._ready(o)
-                                      for _, _, o in self._dec_q[0][3])):
+                                      for *_, o in self._dec_q[0][3])):
             # opportunistic pop requires EVERY job of the superstep ready:
             # np.asarray on an unfinished output serializes into the full
             # device queue and hits the transport's cold-fetch pathology

@@ -717,3 +717,59 @@ def test_chain_fuzz_matches_anyrate_capture_oracle(seed):
     pkts += chain.flush()
     got = sorted((p.start, p.payload) for p in pkts)
     assert got == want
+
+
+def test_chain_multichannel_streaming():
+    """channels=C: one chain, C synchronized streams, ONE device dispatch
+    per superstep for all channels; exactly-once delivery per channel
+    with channel-tagged packets (TPU-native extension: the streaming
+    analogue of the capture path's multi-channel geometry)."""
+    rng = np.random.default_rng(18)
+    rates = (Rate.RATE_1_2_QPSK, Rate.RATE_3_4_QAM16)
+    plan = {0: [(300, rates[0]), (5000, rates[1])],
+            1: [(1200, rates[1])],
+            2: [(300, rates[0]), (7000, rates[0])]}  # same start as ch 0
+    n = 12000
+    stream = np.zeros((3, n), np.complex64)
+    payloads = {}
+    for ch, frames in plan.items():
+        for pos, r in frames:
+            p = rng.integers(0, 256, 40, dtype=np.uint8)
+            payloads[(ch, pos)] = p.tobytes()
+            f = np.asarray(tx.build_frame(jnp.asarray(p), r))
+            stream[ch, pos:pos + f.size] = f
+
+    chain = ReceiverChain(rates=rates, max_length=40, channels=3)
+    pkts = []
+    for i in range(0, n, 2500):
+        pkts += chain.process_samples(stream[:, i:i + 2500])
+    pkts += chain.flush()
+    got = sorted((p.channel, p.start, p.payload) for p in pkts)
+    want = sorted((ch, pos, payloads[(ch, pos)])
+                  for ch, frames in plan.items() for pos, _ in frames)
+    assert got == want
+    assert chain.stats.windows > 0
+
+
+def test_chain_multichannel_int16_fast_path():
+    """Multi-channel pre-quantized (C, step) int16 supersteps take the
+    zero-copy fast path and decode identically."""
+    rng = np.random.default_rng(19)
+    payload = rng.integers(0, 256, 30, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=4)  # step 4096
+    n = 16384
+    stream = np.zeros((2, n), np.complex64)
+    stream[0, 500:500 + frame.size] = frame
+    stream[1, 9000:9000 + frame.size] = frame
+    qr = np.clip(np.rint(stream.real * 8192), -32767, 32767).astype(np.int16)
+    qi = np.clip(np.rint(stream.imag * 8192), -32767, 32767).astype(np.int16)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=30,
+                          params=params, ingest_dtype="int16", channels=2)
+    pkts = []
+    for i in range(0, n, 4096):
+        pkts += chain.process_samples((qr[:, i:i + 4096], qi[:, i:i + 4096]))
+    pkts += chain.flush()
+    assert sorted((p.channel, p.start) for p in pkts) == [(0, 500), (1, 9000)]
+    assert all(p.payload == payload.tobytes() for p in pkts)
