@@ -58,3 +58,17 @@ def test_tx_rx_examples_via_file(tmp_path):
 def test_transceiver_example():
     r = _run("transceiver.py", "--count", "3")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+@pytest.mark.slow
+def test_capture_example_anyrate(tmp_path):
+    """Batch capture decode CLI: frames recorded at one rate decode with
+    zero rate configuration (universal any-rate path)."""
+    cap = str(tmp_path / "capture.c64")
+    t = _run("tx.py", cap, "--count", "3", "--length", "120",
+             "--rate", "RATE_2_3_QAM64")
+    assert t.returncode == 0, t.stdout + t.stderr
+    r = _run("capture.py", cap, "--max-length", "120")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Received 3 packets" in r.stdout, r.stdout + r.stderr
+    assert "RATE_2_3_QAM64" in r.stdout
