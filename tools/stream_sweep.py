@@ -25,7 +25,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str,
                     default="64:float32,256:float32,256:int16,"
-                            "512:int16,1024:int16,1024:int8")
+                            "512:int16,512:int12,1024:int16,1024:int8")
     ap.add_argument("--tiles", type=int, default=512)
     ap.add_argument("--chunk-feed", type=int, default=4096)
     ap.add_argument("--prequant", action="store_true",
@@ -72,17 +72,26 @@ def main() -> None:
             ingest_dtype=dtype)
         if args.prequant and dtype != "float32":
             np_dtype, scale = INGEST_FORMATS[dtype]
-            lim = float(np.iinfo(np_dtype).max)
             n_whole = s_re.size // chain.step * chain.step
-            f_re = np.clip(np.rint(s_re[:n_whole] * scale),
-                           -lim, lim).astype(np_dtype)
-            f_im = np.clip(np.rint(s_im[:n_whole] * scale),
-                           -lim, lim).astype(np_dtype)
+            if dtype == "int12":
+                from fun_ofdm_tpu.runtime.chain import pack12
+                f_re = pack12(s_re[:n_whole], scale)
+                f_im = pack12(s_im[:n_whole], scale)
+                cf = chain.step * 3 // 2
+            else:
+                lim = float(np.iinfo(np_dtype).max)
+                f_re = np.clip(np.rint(s_re[:n_whole] * scale),
+                               -lim, lim).astype(np_dtype)
+                f_im = np.clip(np.rint(s_im[:n_whole] * scale),
+                               -lim, lim).astype(np_dtype)
+                cf = chain.step
             exp = (n_whole // unit_re.size) * 8  # frames in complete tiles
-            feed, cf = (f_re, f_im), chain.step
+            feed = (f_re, f_im)
+            n_fed = n_whole
         else:
             feed, cf = (s_re, s_im), args.chunk_feed
             exp = n_frames
+            n_fed = s_re.size
         t0 = time.perf_counter()
         got = 0
         for i in range(0, feed[0].size, cf):
@@ -93,7 +102,7 @@ def main() -> None:
         if warm and exp is not None and got < exp - 8:
             raise AssertionError(f"decoded {got}, expected ~{exp}")
         st = chain.stats
-        return feed[0].size / dt, dt, st
+        return n_fed / dt, dt, st
 
     for spec in args.configs.split(","):
         kstr, dtype = spec.split(":")
