@@ -149,3 +149,21 @@ def test_viterbi_batched():
     ours = np.asarray(viterbi.viterbi_decode(jnp.asarray(softs), nbits))
     for i, (_, bits) in enumerate(cases):
         np.testing.assert_array_equal(ours[i], bits[:nbits])
+
+
+def test_demodulate_all_matches_per_rate():
+    """The 13-lane all-modulation soft vector (universal decoder input)
+    slices to exactly demodulate_p's output for every rate."""
+    import jax.numpy as jnp
+    from fun_ofdm_tpu.ops import qam
+    from fun_ofdm_tpu.rates import ALL_RATES, params_for
+
+    rng = np.random.default_rng(31)
+    sym = (jnp.asarray(rng.normal(0, 0.5, 96).astype(np.float32)),
+           jnp.asarray(rng.normal(0, 0.5, 96).astype(np.float32)))
+    all13 = np.asarray(qam.demodulate_all_p(sym))        # (96, 13)
+    for rate in ALL_RATES:
+        bpsc = params_for(rate).bpsc
+        off = qam.ALL_SOFT_OFFSET[bpsc]
+        want = np.asarray(qam.demodulate_p(sym, rate)).reshape(96, bpsc)
+        np.testing.assert_array_equal(all13[:, off:off + bpsc], want)
