@@ -633,7 +633,14 @@ class ReceiverChain:
         return self._drain(force=False)
 
     def flush(self) -> list[DecodedPacket]:
-        """Drain buffered samples (zero-padding the tail) at stream end."""
+        """Drain buffered samples (zero-padding the tail) at stream end.
+
+        Terminal: flush rolls zero supersteps through the window to force
+        out every pending frame, so the stream position after flush
+        contains synthetic zeros. Start a new ReceiverChain for a new
+        stream rather than pushing more samples into this one (the
+        reference's analogue is destroying the receiver; pause()/resume()
+        on the Receiver facade is the non-terminal interruption)."""
         if self._t_real == 0:
             # nothing real ever arrived: don't force compilation of the
             # step fn just to roll zeros (ADVICE r2)

@@ -773,3 +773,28 @@ def test_chain_multichannel_int16_fast_path():
     pkts += chain.flush()
     assert sorted((p.channel, p.start) for p in pkts) == [(0, 500), (1, 9000)]
     assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+def test_chain_multichannel_universal_mixed_rates():
+    """channels=C with the default all-rates universal decode: mixed-rate
+    frames on different channels decode from their headers, channel-
+    tagged, exactly once."""
+    rng = np.random.default_rng(20)
+    n = 10000
+    stream = np.zeros((2, n), np.complex64)
+    cases = [(0, 400, Rate.RATE_1_2_BPSK), (1, 400, Rate.RATE_2_3_QAM64),
+             (0, 6000, Rate.RATE_3_4_QAM16)]
+    payloads = {}
+    for ch, pos, r in cases:
+        p = rng.integers(0, 256, 24, dtype=np.uint8)
+        payloads[(ch, pos)] = (r, p.tobytes())
+        f = np.asarray(tx.build_frame(jnp.asarray(p), r))
+        stream[ch, pos:pos + f.size] = f
+
+    chain = ReceiverChain(max_length=24, channels=2)  # default ALL_RATES
+    assert chain.decode_mode == "universal"
+    pkts = chain.process_samples(stream) + chain.flush()
+    got = sorted((p.channel, p.start, p.rate, p.payload) for p in pkts)
+    want = sorted((ch, pos, r, pl)
+                  for (ch, pos), (r, pl) in payloads.items())
+    assert got == want
