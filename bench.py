@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Benchmark: RX + TX throughput on real TPU hardware.
 
-Four measurements, all against the reference's only published number
+All rows measure against the reference's only published number
 (5.22 Msample/s through its full RX chain; BASELINE.md):
 
 1. dense capture RX: back-to-back 1500-byte RATE_3_4_QAM16 frames (the
