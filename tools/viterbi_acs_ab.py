@@ -66,6 +66,8 @@ def main():
                     help="override viterbi_pallas.TIME_CHUNK")
     ap.add_argument("--dtypes", default=None,
                     help="comma list; default all METRIC_DTYPES")
+    ap.add_argument("--radixes", default=None,
+                    help="comma list of ACS radixes to time (default: 2,4)")
     ap.add_argument("--blocked", type=int, default=0,
                     help="also time the blocked kernel with this n_blocks")
     ap.add_argument("--split", action="store_true",
@@ -100,19 +102,25 @@ def main():
     results = {}
     dtypes = (args.dtypes.split(",") if args.dtypes
               else list(vp.METRIC_DTYPES))
+    radixes = ([int(r) for r in args.radixes.split(",")]
+               if args.radixes else [2, 4])
     for impl in dtypes:
-        fn = chained(lambda x, impl=impl: vp.viterbi_decode_pallas(
-            x, args.nbits, metric_dtype=impl))
+      for radix in radixes:
+        fn = chained(lambda x, impl=impl, radix=radix:
+                     vp.viterbi_decode_pallas(
+                         x, args.nbits, metric_dtype=impl, radix=radix))
         try:
             dt, out = timed(fn, s, reps=args.reps)
         except Exception as e:  # variant may not compile on this backend
             msg = str(e).split("\n")[0][:160]
-            print(f"{impl}: FAILED ({type(e).__name__}: {msg})", flush=True)
+            print(f"{impl}/r{radix}: FAILED ({type(e).__name__}: {msg})",
+                  flush=True)
             continue
         got = np.asarray(out)[:n_check]
         exact = bool((got == ref).all())
-        results[impl] = dt
-        print(f"{impl}: {dt*1e3:8.2f} ms  bit-exact={exact}", flush=True)
+        results[f"{impl}/r{radix}"] = dt
+        print(f"{impl}/r{radix}: {dt*1e3:8.2f} ms  bit-exact={exact}",
+              flush=True)
         if not exact:
             print(f"  !! {int((got != ref).sum())} differing bits")
 
@@ -262,10 +270,10 @@ def main():
               f"/{args.batch}", flush=True)
         results[f"blocked-{args.blocked}"] = dt
 
-    if "int32" in results:
-        base = results["int32"]
+    if "int32/r2" in results:
+        base = results["int32/r2"]
         for k, v in results.items():
-            print(f"{k}: {base/v:5.2f}x vs int32")
+            print(f"{k}: {base/v:5.2f}x vs int32/r2")
 
 
 if __name__ == "__main__":
