@@ -57,21 +57,56 @@ class Transmitter:
         self._send(np.asarray(re), np.asarray(im))
         return int(re.shape[-1])
 
+    #: send_burst shape buckets: batch sizes and payload-length caps the
+    #: mixed-length builder pads to, so arbitrary bursts reuse a small set
+    #: of compiled graphs instead of minting one per (count, max-length)
+    BURST_BATCH_BUCKETS = (4, 16, 64, 256)
+    BURST_LEN_BUCKETS = (64, 256, 1024, 2000)
+
     def send_burst(self, payloads: Sequence, rate: Rate) -> int:
-        """Build equal-length frames in one batched device call and send
-        them back-to-back (TPU-native batch path). Returns samples sent."""
+        """Build a whole burst of frames in ONE batched device call and
+        send them back-to-back (TPU-native batch path). Payload lengths
+        may differ (the reference transmitter's per-frame flexibility,
+        src/transmitter.cpp:33-37): equal-length bursts take the static
+        builder; mixed bursts take the dynamic-length builder
+        (models/tx.build_frames_mixed_p), padded to shape buckets so the
+        jit cache stays bounded. Returns samples sent."""
         import jax.numpy as jnp
         from .models import tx
 
         mats = [np.frombuffer(bytes(p), dtype=np.uint8) for p in payloads]
-        if len({m.size for m in mats}) != 1:
-            raise ValueError("send_burst requires equal-length payloads")
-        batch = np.stack(mats)
-        re, im = tx.build_frame_p_jit(Rate(rate))(jnp.asarray(batch))
-        re = np.asarray(re).reshape(-1)
-        im = np.asarray(im).reshape(-1)
-        self._send(re, im)
-        return int(re.size)
+        if not mats:
+            return 0
+        sizes = {m.size for m in mats}
+        if len(sizes) == 1:
+            batch = np.stack(mats)
+            re, im = tx.build_frame_p_jit(Rate(rate))(jnp.asarray(batch))
+            re = np.asarray(re).reshape(-1)
+            im = np.asarray(im).reshape(-1)
+            self._send(re, im)
+            return int(re.size)
+
+        # mixed lengths: zero-pad payloads to a bucketed max length and
+        # the batch to a bucketed count (extra rows repeat frame 0 and
+        # are never sliced out), then slice each frame's true extent
+        lmax = max(sizes)
+        lb = next((b for b in self.BURST_LEN_BUCKETS if b >= lmax), lmax)
+        nb = next((b for b in self.BURST_BATCH_BUCKETS
+                   if b >= len(mats)), len(mats))
+        pay = np.zeros((nb, lb), np.uint8)
+        lens = np.full(nb, mats[0].size, np.int32)
+        for i, m in enumerate(mats):
+            pay[i, :m.size] = m
+            lens[i] = m.size
+        re, im, ns = tx.build_frames_mixed_p_jit(Rate(rate))(
+            jnp.asarray(pay), jnp.asarray(lens))
+        re, im, ns = np.asarray(re), np.asarray(im), np.asarray(ns)
+        out_re = np.concatenate(
+            [re[i, :ns[i]] for i in range(len(mats))])
+        out_im = np.concatenate(
+            [im[i, :ns[i]] for i in range(len(mats))])
+        self._send(out_re, out_im)
+        return int(out_re.size)
 
 
 class Receiver:

@@ -32,7 +32,8 @@ from . import rx as rx_model
 LTS_CP_FROM_START = 160
 
 
-def _first_k_true(mask: jnp.ndarray, k: int):
+def _first_k_true(mask: jnp.ndarray, k: int,
+                  drop_count_limit: int | None = None):
     """Positions of the first k True values of a 1-D mask, in order.
 
     Returns (pos (k,) int32 with n as fill, valid (k,) bool, dropped ()
@@ -48,7 +49,7 @@ def _first_k_true(mask: jnp.ndarray, k: int):
     """
     n = mask.shape[-1]
     if k * n > _BLOCKED_MIN_ELEMS:
-        blocked = _first_k_true_blocked(mask, k)
+        blocked = _first_k_true_blocked(mask, k, drop_count_limit)
         if blocked is not None:
             return blocked
     rank = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - mask.astype(jnp.int32)
@@ -74,12 +75,19 @@ _BLOCK_CAP = 16
 _BLOCKED_MIN_ELEMS = 1 << 24
 
 
-def _first_k_true_blocked(mask: jnp.ndarray, k: int):
+def _first_k_true_blocked(mask: jnp.ndarray, k: int,
+                          drop_count_limit: int | None = None):
     """Two-level first-k: per-512-block top-16 candidates, then a global
     top-k over the (n/32)-entry candidate list. Exact vs the one-hot form
     whenever no 512-sample block holds >16 events; the number of events
     lost to the cap is returned as `dropped`. Returns None when the
-    candidate list cannot cover k (caller falls back to the one-hot)."""
+    candidate list cannot cover k (caller falls back to the one-hot).
+
+    drop_count_limit: only blocks starting below this position contribute
+    to `dropped` (static). The streaming chain re-scans the previous
+    superstep's DETECT_LEAD tail every superstep; counting drops only in
+    the owned [0, step) region keeps stats.detect_dropped exact instead
+    of double-counting a dense burst in the overlap (ADVICE r4)."""
     n = mask.shape[-1]
     nb = -(-n // _BLOCK)
     if k > nb * _BLOCK_CAP:
@@ -96,7 +104,12 @@ def _first_k_true_blocked(mask: jnp.ndarray, k: int):
     negk, _ = jax.lax.top_k(-gpos, k)             # first k candidates
     pos = -negk                                   # (k,) ascending, n = fill
     count_b = jnp.sum(mb.astype(jnp.int32), axis=-1)      # per block
-    dropped = jnp.sum(jnp.maximum(count_b - _BLOCK_CAP, 0))
+    over_b = jnp.maximum(count_b - _BLOCK_CAP, 0)
+    if drop_count_limit is not None:
+        counted = (jnp.arange(nb, dtype=jnp.int32) * _BLOCK
+                   < drop_count_limit)
+        over_b = jnp.where(counted, over_b, 0)
+    dropped = jnp.sum(over_b)
     count = jnp.sum(count_b)
     valid = (jnp.arange(k, dtype=jnp.int32) < count) & (pos < n)
     return jnp.where(valid, pos, n), valid, dropped
@@ -104,7 +117,8 @@ def _first_k_true_blocked(mask: jnp.ndarray, k: int):
 
 def detect_frames_p(stream: CArr, max_frames: int,
                     params: ChainParams = DEFAULT_PARAMS,
-                    return_dropped: bool = False):
+                    return_dropped: bool = False,
+                    drop_count_limit: int | None = None):
     """Find frame starts in a planar 1-D capture.
 
     stream: planar (re, im) of (n,) samples.
@@ -141,7 +155,8 @@ def detect_frames_p(stream: CArr, max_frames: int,
     reach = correlate.leading_window_any(pair, params.lts_search - 64)
     ends = ends & reach
 
-    end_pos, end_valid, dropped = _first_k_true(ends, max_frames)
+    end_pos, end_valid, dropped = _first_k_true(ends, max_frames,
+                                                drop_count_limit)
 
     search = params.lts_search
     lts_padded = jnp.concatenate([lts_norm, jnp.zeros(search, lts_norm.dtype)])
@@ -201,7 +216,8 @@ def receive_capture_p(stream: CArr, rate: Rate, length: int,
 
 
 def decode_headers_p(stream: CArr, max_frames: int,
-                     params: ChainParams = DEFAULT_PARAMS):
+                     params: ChainParams = DEFAULT_PARAMS,
+                     drop_count_limit: int | None = None):
     """Detect frames and decode only their SIGNAL headers.
 
     Cheap and rate-independent (the header is always 1/2-BPSK,
@@ -216,7 +232,8 @@ def decode_headers_p(stream: CArr, max_frames: int,
     """
     n = stream[0].shape[-1]
     starts, valid, dropped = detect_frames_p(stream, max_frames, params,
-                                             return_dropped=True)
+                                             return_dropped=True,
+                                             drop_count_limit=drop_count_limit)
     # header needs preamble + SIGNAL symbol = 400 samples; pad so clamped
     # slices near the stream end stay aligned
     pad = jnp.zeros(stream[0].shape[:-1] + (400,), stream[0].dtype)
@@ -258,7 +275,8 @@ def receive_capture_dynamic_p(stream: CArr, rate: Rate, max_length: int,
     """
     n = stream[0].shape[-1]
     frame_len_max = params_for(rate).frame_samples(max_length)
-    starts, valid = detect_frames_p(stream, max_frames, params)
+    starts, valid, dropped = detect_frames_p(stream, max_frames, params,
+                                             return_dropped=True)
     pad = jnp.zeros(stream[0].shape[:-1] + (frame_len_max,),
                     stream[0].dtype)
     padded = (jnp.concatenate([stream[0], pad], axis=-1),
@@ -279,6 +297,7 @@ def receive_capture_dynamic_p(stream: CArr, rate: Rate, max_length: int,
         "rate_field": out["rate_field"],
         "crc_ok": out["crc_ok"] & ok,
         "header_ok": out["header_ok"] & ok,
+        "detect_dropped": dropped,
     }
 
 
@@ -302,7 +321,8 @@ def receive_capture_anyrate_p(stream: CArr, rates: tuple[Rate, ...],
     n = stream[0].shape[-1]
     frame_len_max = max(params_for(r).frame_samples(max_length)
                         for r in rates)
-    starts, valid = detect_frames_p(stream, max_frames, params)
+    starts, valid, dropped = detect_frames_p(stream, max_frames, params,
+                                             return_dropped=True)
     pad = jnp.zeros(stream[0].shape[:-1] + (frame_len_max,),
                     stream[0].dtype)
     padded = (jnp.concatenate([stream[0], pad], axis=-1),
@@ -321,6 +341,7 @@ def receive_capture_anyrate_p(stream: CArr, rates: tuple[Rate, ...],
         "rate_match": out["rate_match"],
         "crc_ok": out["crc_ok"] & valid,
         "header_ok": out["header_ok"] & valid,
+        "detect_dropped": dropped,
     }
 
 

@@ -389,3 +389,103 @@ def decode_data_anyrate_p(samples, rates: tuple[Rate, ...], rate_idx,
         descrambled[..., :SERVICE_BYTES + max_length],
         SERVICE_BYTES + lengths_c)
     return payload, (given == calc) & in_range, service, exact_ok
+
+
+def encode_data_dynamic_p(payload: jnp.ndarray, lengths, rate: Rate,
+                          dtype=jnp.float32):
+    """Encode zero-padded payload bytes with traced per-frame lengths.
+
+    payload: (..., max_length) int bytes, zeros past each frame's real
+    length; lengths: (...,) traced byte counts. Returns planar (re, im)
+    of (..., nsym_max*48) modulated data samples whose first
+    num_symbols(length)*48 samples are EXACTLY the static encoder's
+    output for that length (every transform in the chain - scrambler
+    keystream, conv encoder, puncture pattern, 48-chunk interleave, QAM
+    grouping - is position-uniform/causal, so a shorter frame occupies an
+    exact prefix of the max-shape buffers; the dual of
+    decode_data_dynamic_p). Samples past a frame's true extent are
+    well-defined garbage the caller slices away.
+
+    This is the mixed-length batched TX path (reference transmitter takes
+    arbitrary per-frame lengths one call at a time,
+    src/transmitter.cpp:33-37; here a whole mixed burst encodes in ONE
+    device dispatch).
+    """
+    rp = params_for(rate)
+    max_length = payload.shape[-1]
+    n_bits = rp.num_data_bits(max_length)
+    n_bytes = rp.num_data_bytes(max_length)
+    batch = payload.shape[:-1]
+
+    payload = jnp.asarray(payload, jnp.int32)
+    lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), batch)
+    lengths_c = jnp.clip(lengths, 1, max_length)
+
+    service = jnp.zeros(batch + (SERVICE_BYTES,), jnp.int32)
+    msg = jnp.concatenate([service, payload], axis=-1)
+    crc = crc32.crc32_dynamic(msg, SERVICE_BYTES + lengths_c)
+    crc_le = jnp.stack(
+        [(crc >> (8 * i)) & 0xFF for i in range(4)],
+        axis=-1).astype(jnp.int32)
+
+    # data buffer: [service | payload[:len] | crc_le | zeros], the CRC at
+    # its dynamic offset via an elementwise select (no scatter)
+    buf_len = n_bytes + 1
+    msg_pad = jnp.concatenate(
+        [msg, jnp.zeros(batch + (buf_len - msg.shape[-1],), jnp.int32)],
+        axis=-1)
+    idx = jnp.arange(buf_len, dtype=jnp.int32)
+    crc_off = idx - (SERVICE_BYTES + lengths_c)[..., None]
+    crc_sel = jnp.take_along_axis(
+        crc_le.reshape(-1, 4),
+        jnp.clip(crc_off, 0, 3).reshape(-1, buf_len),
+        axis=-1).reshape(batch + (buf_len,))
+    data = jnp.where(idx < (SERVICE_BYTES + lengths_c)[..., None], msg_pad,
+                     jnp.where((crc_off >= 0) & (crc_off < 4), crc_sel, 0))
+
+    # scramble the whole static extent: the keystream is position-uniform,
+    # so bytes inside each frame's real extent match the static encoder
+    # exactly; bytes past it only feed untransmitted bits
+    scrambled = scramble.scramble_bytes(data[..., :n_bytes])
+    data = jnp.concatenate([scrambled, data[..., n_bytes:]], axis=-1)
+
+    bits = bytes_to_bits(data)[..., :n_bits]
+    coded = convcode.conv_encode(bits)
+    punctured = puncture.puncture(coded, rate)
+    inter = interleave.interleave(punctured)
+    return qam.modulate_p(inter, rate, dtype=dtype)
+
+
+def header_samples_dynamic_p(lengths, rate: Rate, dtype=jnp.float32):
+    """Traced-length SIGNAL symbol samples (planar re, im of (..., 48)).
+
+    The traced twin of header_samples_np (reference src/ppdu.cpp:81-110):
+    field = parity(1)|rate(4)|reserved(1)|length(12), 6 tail zeros,
+    conv-encoded + 48-bit interleave + BPSK.
+    """
+    rp = params_for(rate)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    field = ((rp.rate_field & 0xF) << 13) | (lengths & 0xFFF)
+    par = field
+    for s_ in (16, 8, 4, 2, 1):
+        par = par ^ (par >> s_)
+    field = field | ((par & 1) << 17)
+    field = field << 6  # 24-bit word, 6 tail zeros
+    shifts = jnp.arange(23, -1, -1, dtype=jnp.int32)
+    bits24 = (field[..., None] >> shifts) & 1
+    coded = convcode.conv_encode(bits24)          # (..., 48)
+    inter = interleave.interleave(coded)
+    re = (2.0 * inter - 1.0).astype(dtype)
+    return re, jnp.zeros_like(re)
+
+
+def encode_dynamic_p(payload: jnp.ndarray, lengths, rate: Rate,
+                     dtype=jnp.float32):
+    """Traced-length header + data samples, planar (..., (1+nsym_max)*48).
+
+    The first (1 + num_symbols(length))*48 samples of each frame equal
+    encode_p's output for that length (see encode_data_dynamic_p)."""
+    hdr_re, hdr_im = header_samples_dynamic_p(lengths, rate, dtype)
+    data_re, data_im = encode_data_dynamic_p(payload, lengths, rate, dtype)
+    return (jnp.concatenate([hdr_re, data_re], axis=-1),
+            jnp.concatenate([hdr_im, data_im], axis=-1))

@@ -43,9 +43,12 @@ TIME_CHUNK = 256   # trellis steps per grid step
 _SUB = 8           # trellis steps per inner unrolled block (sublane tile)
 #: merge-guard margin: bits excluded from each end of the doubly-decoded
 #: cut region (each window's outermost bits are unreliable by design -
-#: see _blocked_decode_impl). ~justified by the typical survivor-merge
-#: distance of ~5 constraint lengths = 35 steps.
-_GUARD_TRIM = 32
+#: see _blocked_decode_impl). 40 > the typical survivor-merge distance of
+#: ~5 constraint lengths = 35 steps (ADVICE r4: 32 sat below it, so a
+#: healthy frame could occasionally trip the guard and pay a synchronous
+#: exact re-decode); the guarded overlap at the production warmup=128
+#: still leaves a 176-bit compared region.
+_GUARD_TRIM = 40
 
 
 #: supported ACS metric carrier dtypes (python strings; see _acs_kernel)

@@ -140,6 +140,10 @@ def sharded_receive_dynamic(streams: CArr, rates: tuple[Rate, ...],
             "rate_field": out["rate_field"],
             "hdr_length": out["hdr_length"],
             "payload": out["payload"],
+            # per-(channel, time-block) count of detection events lost to
+            # the blocked extractor's per-block cap (ADVICE r4: surfaced
+            # so dense-noise captures aren't silently lossy)
+            "detect_dropped": out["detect_dropped"][:, None],
         }
 
     specs_out = {
@@ -150,6 +154,7 @@ def sharded_receive_dynamic(streams: CArr, rates: tuple[Rate, ...],
         "rate_field": P("channel", "time"),
         "hdr_length": P("channel", "time"),
         "payload": P("channel", "time", None),
+        "detect_dropped": P("channel", "time"),
     }
     fn = jax.shard_map(
         local_fn, mesh=mesh,

@@ -160,7 +160,7 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     def headers(wr, wi):
         h = frontend.decode_headers_p(
             (wr[..., :ds], wi[..., :ds]), max_frames=max_frames,
-            params=params)
+            params=params, drop_count_limit=step)
         drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
             h["detect_dropped"])
         return jnp.concatenate([jnp.stack([
@@ -252,6 +252,12 @@ def _build_decode_fn(rate: Rate, bucket: int, max_length: int,
     vimpl = _impl_for_bucket(impl, bucket)
 
     def fn(wr, wi, starts):
+        # multi-channel chains pass their full (C, W) window with starts
+        # pre-offset by channel*W: the row-major flatten is free and the
+        # 1-D decode path handles every channel in the SAME dispatch
+        # (frame extents never cross a row boundary - the per-channel
+        # halo covers them)
+        wr, wi = wr.reshape(-1), wi.reshape(-1)
         out = jax.vmap(
             lambda s: rx.decode_frame_dynamic_p(
                 (wr, wi), rate, max_length, start=s,
@@ -277,6 +283,7 @@ def _build_decode_anyrate_fn(rates: tuple[Rate, ...], bucket: int,
     vimpl = _impl_for_bucket(impl, bucket)
 
     def fn(wr, wi, starts):
+        wr, wi = wr.reshape(-1), wi.reshape(-1)   # see _build_decode_fn
         out = jax.vmap(
             lambda s: rx.decode_frame_anyrate_p(
                 (wr, wi), rates, max_length, start=s,
@@ -377,6 +384,11 @@ class ReceiverChain:
         cheaper single-rate decoder otherwise. "universal" / "per-rate"
         force either. Per-rate on a mixed stream issues one dispatch per
         (rate, bucket) pair — up to 11 per superstep.
+      prewarm_exact: compile the exact-Viterbi re-decode variant (the
+        merge-guard fallback path) in a background thread at chain
+        construction, so the first flagged frame doesn't stall the
+        pipeline for a synchronous jit (ADVICE r4). None (default) =
+        True on accelerator backends, False on CPU (tests).
       channels: number of synchronized sample streams (default 1). With
         channels=C, process_samples takes (C, n) complex or planar
         buffers (one radio clock, C front-ends — a multi-antenna site or
@@ -397,13 +409,28 @@ class ReceiverChain:
                  ingest_dtype: str = "float32",
                  viterbi_impl: str | None = None,
                  decode_mode: str = "auto",
-                 channels: int = 1):
+                 channels: int = 1,
+                 prewarm_exact: bool | None = None):
         if max_length > MAX_FRAME_SIZE:
             raise ValueError(f"max_length > MAX_FRAME_SIZE ({MAX_FRAME_SIZE})")
         if ingest_dtype not in INGEST_FORMATS:
             raise ValueError(f"ingest_dtype must be one of "
                              f"{sorted(INGEST_FORMATS)}")
         self.rates = tuple(Rate(r) for r in rates)
+        if ingest_dtype == "int8":
+            # sc8 quantization adds ~-35 dB noise: measurably breaks
+            # 64-QAM (every frame fails CRC, indistinguishable from
+            # noise to the user - see INGEST_FORMATS). Refuse the
+            # combination instead of failing silently (VERDICT r4 #6);
+            # callers wanting the small wire format drop the 64-QAM
+            # rates or use "int12" (transparent at every rate).
+            qam64 = [r.name for r in self.rates if params_for(r).bpsc >= 6]
+            if qam64:
+                raise ValueError(
+                    f"ingest_dtype='int8' (sc8) cannot carry 64-QAM "
+                    f"frames ({', '.join(qam64)}): 8-bit quantization "
+                    f"noise fails their CRC. Exclude those rates or use "
+                    f"ingest_dtype='int12'.")
         self.max_length = int(max_length)
         self.params = params
         self.cfo_correct = bool(cfo_correct)
@@ -452,6 +479,18 @@ class ReceiverChain:
         from ..utils.cache import enable_persistent_cache
         enable_persistent_cache()
         self.stats = ChainStats()
+        if prewarm_exact is None:
+            from ..utils.platform import default_platform
+            prewarm_exact = default_platform() != "cpu"
+        if prewarm_exact and _impl_for_bucket(
+                self.viterbi_impl, DECODE_BUCKETS[0]) == "pallas-blocked":
+            # the first merge-guard fallback would otherwise jit-compile
+            # the exact decode variant synchronously mid-stream
+            # (ADVICE r4); warm the smallest bucket (_redecode_exact's
+            # common shape - flagged frames are rare) in the background
+            import threading
+            threading.Thread(target=self._prewarm_exact,
+                             name="fun_ofdm_prewarm", daemon=True).start()
 
         # host side: slice arbitrary pushes into exact superstep chunks
         # (single-channel: the native chunker; multi-channel: a python
@@ -469,6 +508,23 @@ class ReceiverChain:
         self._dec_q: collections.deque = collections.deque()
 
     # --- jitted device functions (shared across instances) ---------------
+
+    def _prewarm_exact(self) -> None:
+        """AOT-compile the exact decode variant for the smallest bucket
+        (background thread; failures are harmless - the fallback then
+        compiles lazily as before)."""
+        try:
+            import jax
+
+            bucket = DECODE_BUCKETS[0]
+            rate = None if self.decode_mode == "universal" else self.rates[0]
+            fn = self._decode_fn(rate, bucket, exact=True)
+            win_shape = (self.window,)
+            f32 = jax.ShapeDtypeStruct(win_shape, np.float32)
+            st = jax.ShapeDtypeStruct((bucket,), np.int32)
+            fn.lower(f32, f32, st).compile()
+        except Exception:
+            pass
 
     def _step_fn(self):
         return _build_step_fn(self.step, self.max_frames, self.params,
@@ -632,15 +688,22 @@ class ReceiverChain:
             self._ingest(cre, cim)
         return self._drain(force=False)
 
-    def flush(self) -> list[DecodedPacket]:
+    def flush(self, terminal: bool = True) -> list[DecodedPacket]:
         """Drain buffered samples (zero-padding the tail) at stream end.
 
-        Terminal: flush rolls zero supersteps through the window to force
-        out every pending frame, so the stream position after flush
-        contains synthetic zeros. Start a new ReceiverChain for a new
-        stream rather than pushing more samples into this one (the
-        reference's analogue is destroying the receiver; pause()/resume()
-        on the Receiver facade is the non-terminal interruption)."""
+        Flush rolls zero supersteps through the window to force out every
+        pending frame, so the stream position after flush contains
+        synthetic zeros.
+
+        terminal=True (default): the chain is done; start a new
+        ReceiverChain for a new stream (the reference's analogue is
+        destroying the receiver). terminal=False additionally RESETS the
+        window to a clean stream position so this same chain can serve
+        back-to-back streams (the reference receiver's indefinite
+        lifetime, src/receiver.cpp:42-77) with no re-jit (compiled fns
+        are shared): the next process_samples starts a fresh stream
+        whose packet .start positions count from 0 again; stats remain
+        cumulative."""
         if self._t_real == 0:
             # nothing real ever arrived: don't force compilation of the
             # step fn just to roll zeros (ADVICE r2)
@@ -663,7 +726,20 @@ class ReceiverChain:
         while self._rolls * self.step - self.window + self.step \
                 < self._t_real:
             self._ingest(zeros, zeros)
-        return self._drain(force=True)
+        packets = self._drain(force=True)
+        if not terminal:
+            # reset to a clean stream position: fresh window state and a
+            # zeroed global sample counter; the jitted step/decode fns
+            # and their compiled executables are untouched
+            self._dev_win = None
+            self._rolls = 0
+            self._t_real = 0
+            if self.channels == 1:
+                self._rechunk = native.Chunker(self.step, self.step)
+            else:
+                self._mc_buf = []
+                self._mc_avail = 0
+        return packets
 
     # --- pipeline stages ---------------------------------------------------
 
@@ -707,86 +783,77 @@ class ReceiverChain:
         is_ready = getattr(arr, "is_ready", None)
         return bool(is_ready()) if is_ready is not None else False
 
-    def _win_ch(self, win, ch: int):
-        """The channel-ch planar window view (identity for 1 channel)."""
-        if self.channels == 1:
-            return win
-        return (win[0][ch], win[1][ch])
-
-    def _dispatch_one(self, win, ch: int, rate: Rate | None, starts, idx,
+    def _dispatch_one(self, win, rate: Rate | None, chs, local_starts,
                       jobs) -> None:
-        """Dispatch decode jobs for slot indices idx of channel ch, padded
-        to fixed buckets so frame count never mints a fresh jit shape;
-        overflow splits into max-bucket jobs."""
+        """Dispatch decode jobs for (channel, start) pairs gathered across
+        ALL channels, padded to fixed buckets so frame count never mints a
+        fresh jit shape; overflow splits into max-bucket jobs.
+
+        The channel index folds into the start offset (flat start =
+        ch * window + start; the decode fn flattens its (C, W) window
+        row-major), so a multi-channel superstep costs ONE decode
+        dispatch+fetch instead of one per channel (VERDICT r4 #2 - each
+        round-trip is ~22 ms on the tunnel transport)."""
         import jax.numpy as jnp
 
-        wch = self._win_ch(win, ch)
-        for lo in range(0, idx.size, DECODE_BUCKETS[-1]):
-            part = idx[lo:lo + DECODE_BUCKETS[-1]]
-            bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
-            padded = np.full(bucket, starts[part[0]], np.int32)
-            padded[:part.size] = starts[part]
+        flat = (chs.astype(np.int64) * self.window
+                + local_starts).astype(np.int32)
+        for lo in range(0, flat.size, DECODE_BUCKETS[-1]):
+            part = slice(lo, lo + DECODE_BUCKETS[-1])
+            fpart = flat[part]
+            bucket = next(b for b in DECODE_BUCKETS if b >= fpart.size)
+            padded = np.full(bucket, fpart[0], np.int32)
+            padded[:fpart.size] = fpart
             out = self._decode_fn(rate, bucket)(
-                wch[0], wch[1], jnp.asarray(padded))
+                win[0], win[1], jnp.asarray(padded))
             copy_async = getattr(out, "copy_to_host_async", None)
             if copy_async is not None:
                 copy_async()
-            jobs.append((rate, ch, part, out))
+            jobs.append((rate, chs[part], local_starts[part], out))
 
-    def _dispatch_decodes(self, win, ch, starts, owned, fields,
-                          lengths, jobs) -> None:
-        """Queue batched payload decodes for one channel's owned frames
-        (stage 2 dispatch; fetched by a later _drain)."""
-        known = np.isin(fields, list(self._valid_fields)) & owned
-        self.stats.unknown_rate += int((owned & ~known).sum())
-        over = known & (lengths > self.max_length)
-        if over.any():
-            self.stats.length_overflow += int(over.sum())
-        sel_all = known & (lengths <= self.max_length)
+    def _dispatch_decodes(self, win, chs, starts, fields, jobs) -> None:
+        """Queue batched payload decodes for one superstep's owned frames
+        (all channels merged; stage 2 dispatch, fetched by a later
+        _drain). chs/starts/fields: equal-length arrays over frames."""
         if self.decode_mode == "universal":
-            # ONE mixed-rate dispatch per bucket: every frame decodes at
-            # its header's rate inside the same jitted graph
-            if sel_all.any():
-                self._dispatch_one(win, ch, None, starts,
-                                   np.nonzero(sel_all)[0], jobs)
+            # ONE mixed-rate dispatch per bucket: every frame of every
+            # channel decodes at its header's rate in the same graph
+            self._dispatch_one(win, None, chs, starts, jobs)
         else:
-            for field_val in np.unique(fields[sel_all]):
-                rate = self._valid_fields.get(int(field_val))
-                sel = sel_all & (fields == field_val)
-                self._dispatch_one(win, ch, rate, starts,
-                                   np.nonzero(sel)[0], jobs)
+            for field_val in np.unique(fields):
+                sel = fields == field_val
+                self._dispatch_one(win, self._valid_fields[int(field_val)],
+                                   chs[sel], starts[sel], jobs)
 
-    def _redecode_exact(self, win, ch: int, rate: Rate | None,
-                        starts_bad) -> np.ndarray:
+    def _redecode_exact(self, win, rate: Rate | None,
+                        flat_bad) -> np.ndarray:
         """Re-decode merge-guard-flagged frames with the exact Viterbi.
 
+        flat_bad: channel-folded start offsets (ch * window + start).
         Returns the same (n, max_length + 5) uint8 row layout as the
         primary decode. Synchronous (flagged frames are rare — zero in
         the 3.1 Mbit adversarial sweep, docs/NOTES_r3.md)."""
         import jax.numpy as jnp
 
-        wch = self._win_ch(win, ch)
         row = self.max_length + 5
         outs = []
-        for lo in range(0, starts_bad.size, DECODE_BUCKETS[-1]):
-            part = starts_bad[lo:lo + DECODE_BUCKETS[-1]]
+        for lo in range(0, flat_bad.size, DECODE_BUCKETS[-1]):
+            part = flat_bad[lo:lo + DECODE_BUCKETS[-1]]
             bucket = next(b for b in DECODE_BUCKETS if b >= part.size)
             padded = np.full(bucket, part[0], np.int32)
             padded[:part.size] = part
             out = self._decode_fn(rate, bucket, exact=True)(
-                wch[0], wch[1], jnp.asarray(padded))
+                win[0], win[1], jnp.asarray(padded))
             outs.append(np.asarray(out)[: part.size * row].reshape(-1, row))
         return np.concatenate(outs)
 
-    def _collect_decodes(self, gpos, win, starts_all, jobs
-                         ) -> list[DecodedPacket]:
+    def _collect_decodes(self, gpos, win, jobs) -> list[DecodedPacket]:
         """Sync one superstep's decode jobs into DecodedPackets."""
         wpkts: list[DecodedPacket] = []
         t1 = time.perf_counter()
-        for rate, ch, idx, out in jobs:
-            starts = starts_all[ch]
+        for rate, chs, starts, out in jobs:
             row = self.max_length + 5
-            packed = np.asarray(out)[: idx.size * row].reshape(-1, row)
+            packed = np.asarray(out)[: chs.size * row].reshape(-1, row)
             exact = packed[:, self.max_length + 3].astype(bool)
             bad = np.nonzero(~exact)[0]
             if bad.size:
@@ -794,15 +861,16 @@ class ReceiverChain:
                 # by re-decoding the flagged frames sequentially
                 self.stats.viterbi_fallbacks += int(bad.size)
                 packed = packed.copy()
-                packed[bad] = self._redecode_exact(
-                    win, ch, rate, starts[idx[bad]].astype(np.int32))
+                flat_bad = (chs[bad].astype(np.int64) * self.window
+                            + starts[bad]).astype(np.int32)
+                packed[bad] = self._redecode_exact(win, rate, flat_bad)
             payloads = packed[:, :self.max_length]
             crc_ok = packed[:, self.max_length].astype(bool)
             hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
                        | (packed[:, self.max_length + 2]
                           .astype(np.int32) << 8))
             rfield = packed[:, self.max_length + 4]
-            for k in range(idx.size):
+            for k in range(chs.size):
                 if not crc_ok[k]:
                     # reference: report + drop, keep streaming
                     # (ppdu.cpp:274-279)
@@ -818,8 +886,8 @@ class ReceiverChain:
                     rate=(rate if rate is not None
                           else self._valid_fields[int(rfield[k])]),
                     length=n,
-                    start=gpos + int(starts[idx[k]]),
-                    channel=ch))
+                    start=gpos + int(starts[k]),
+                    channel=int(chs[k])))
         self.stats.time_decode_s += time.perf_counter() - t1
         wpkts.sort(key=lambda p: (p.start, p.channel))
         return wpkts
@@ -844,7 +912,7 @@ class ReceiverChain:
             hs = hs.reshape(self.channels, 6, self.max_frames)
             self.stats.time_headers_s += time.perf_counter() - t0
             jobs: list = []
-            starts_all = hs[:, 0, :]
+            sel_chs, sel_starts, sel_fields = [], [], []
             for ch in range(self.channels):
                 h = hs[ch]
                 starts = h[0]
@@ -884,19 +952,35 @@ class ReceiverChain:
                 if not owned.any():
                     continue
                 self.stats.headers_ok += int(owned.sum())
-                self._dispatch_decodes(win, ch, starts, owned, fields,
-                                       lengths, jobs)
+                known = np.isin(fields, list(self._valid_fields)) & owned
+                self.stats.unknown_rate += int((owned & ~known).sum())
+                over = known & (lengths > self.max_length)
+                if over.any():
+                    self.stats.length_overflow += int(over.sum())
+                sel = known & (lengths <= self.max_length)
+                if sel.any():
+                    idx = np.nonzero(sel)[0]
+                    sel_chs.append(np.full(idx.size, ch, np.int32))
+                    sel_starts.append(starts[idx].astype(np.int32))
+                    sel_fields.append(fields[idx])
+            if sel_chs:
+                # ONE decode dispatch (per rate group; universal mode:
+                # one total) covering every channel's frames
+                self._dispatch_decodes(
+                    win, np.concatenate(sel_chs),
+                    np.concatenate(sel_starts),
+                    np.concatenate(sel_fields), jobs)
             if jobs:
-                self._dec_q.append((gpos, win, starts_all, jobs))
+                self._dec_q.append((gpos, win, jobs))
 
         packets: list[DecodedPacket] = []
         while self._dec_q and (len(self._dec_q) > keep
                                or all(self._ready(o)
-                                      for *_, o in self._dec_q[0][3])):
+                                      for *_, o in self._dec_q[0][2])):
             # opportunistic pop requires EVERY job of the superstep ready:
             # np.asarray on an unfinished output serializes into the full
             # device queue and hits the transport's cold-fetch pathology
             # (measured 3.7 s/superstep on the all-rates config)
-            gpos, win, starts, jobs = self._dec_q.popleft()
-            packets.extend(self._collect_decodes(gpos, win, starts, jobs))
+            gpos, win, jobs = self._dec_q.popleft()
+            packets.extend(self._collect_decodes(gpos, win, jobs))
         return packets

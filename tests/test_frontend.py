@@ -152,3 +152,22 @@ def test_detect_dropped_reaches_chain_stats(monkeypatch):
     assert chain.stats.detect_dropped >= 1
     # the first frame survives the cap; the second event was dropped
     assert [p.start for p in pkts] == [100]
+
+
+def test_anyrate_capture_reports_detect_dropped():
+    """receive_capture_anyrate_p surfaces the blocked extractor's dropped
+    event count instead of discarding it (ADVICE r4)."""
+    import jax.numpy as jnp
+    from fun_ofdm_tpu.models import frontend, tx as tx_model
+    from fun_ofdm_tpu.rates import Rate
+
+    payload = np.arange(30, dtype=np.uint8)
+    f = np.asarray(tx_model.build_frame(jnp.asarray(payload),
+                                        Rate.RATE_1_2_BPSK))
+    stream = np.zeros(6000, np.complex64)
+    stream[100:100 + f.size] = f
+    out = frontend.receive_capture_anyrate_p(
+        (jnp.asarray(stream.real), jnp.asarray(stream.imag)),
+        (Rate.RATE_1_2_BPSK,), max_length=40, max_frames=4)
+    assert int(out["detect_dropped"]) == 0
+    assert int((out["crc_ok"]).sum()) == 1

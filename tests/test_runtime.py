@@ -798,3 +798,120 @@ def test_chain_multichannel_universal_mixed_rates():
     want = sorted((ch, pos, r, pl)
                   for (ch, pos), (r, pl) in payloads.items())
     assert got == want
+
+
+def test_chain_sc8_rejects_qam64_rates():
+    """sc8 quantization breaks 64-QAM (measured, see INGEST_FORMATS);
+    constructing that chain must fail loudly, not drop every frame as a
+    silent CRC failure (VERDICT r4 #6)."""
+    with pytest.raises(ValueError, match="64-QAM"):
+        ReceiverChain(ingest_dtype="int8")  # default rates include QAM64
+    with pytest.raises(ValueError, match="int12"):
+        ReceiverChain(rates=(Rate.RATE_2_3_QAM64,), ingest_dtype="int8")
+    # non-64-QAM rate sets stay valid
+    ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=100,
+                  ingest_dtype="int8")
+
+
+def test_chain_nonterminal_flush_serves_back_to_back_streams():
+    """flush(terminal=False) drains pending frames and resets the stream
+    position so ONE chain serves consecutive streams (the reference
+    receiver's indefinite lifetime, src/receiver.cpp:42-77)."""
+    rng = np.random.default_rng(7)
+    p1 = rng.integers(0, 256, 60, dtype=np.uint8)
+    p2 = rng.integers(0, 256, 44, dtype=np.uint8)
+    f1 = np.asarray(tx.build_frame(jnp.asarray(p1), Rate.RATE_1_2_QPSK))
+    f2 = np.asarray(tx.build_frame(jnp.asarray(p2), Rate.RATE_1_2_QPSK))
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=80)
+
+    s1 = np.zeros(9000, np.complex64)
+    s1[700:700 + f1.size] = f1
+    pkts1 = chain.process_samples(s1) + chain.flush(terminal=False)
+    assert [(p.start, p.payload) for p in pkts1] == [(700, p1.tobytes())]
+
+    # second stream through the SAME chain: starts count from 0 again
+    s2 = np.zeros(7000, np.complex64)
+    s2[1234:1234 + f2.size] = f2
+    pkts2 = chain.process_samples(s2) + chain.flush(terminal=False)
+    assert [(p.start, p.payload) for p in pkts2] == [(1234, p2.tobytes())]
+
+    # exactly-once: nothing from stream 1 leaked into stream 2's drain,
+    # cumulative stats carry across streams
+    assert chain.stats.crc_ok == 2
+
+
+def test_transmitter_mixed_length_burst_roundtrip():
+    """send_burst with unequal payload lengths builds in one batched
+    dispatch and puts exactly the per-frame samples on the air (VERDICT
+    r4 #8); the receiver chain decodes every frame."""
+    rng = np.random.default_rng(11)
+    payloads = [bytes(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+                for n in (10, 57, 31)]
+    bus = LoopbackRadio(RadioParams(), pace_idle=False)
+    txr = Transmitter(sink=bus)
+    sent = txr.send_burst(payloads, Rate.RATE_1_2_QPSK)
+
+    # oracle: per-frame static builds concatenated
+    ref = np.concatenate([
+        np.asarray(tx.build_frame(
+            jnp.asarray(np.frombuffer(p, np.uint8)), Rate.RATE_1_2_QPSK))
+        for p in payloads])
+    assert sent == ref.size
+    re, im = bus.get_samples(sent)
+    np.testing.assert_allclose(re + 1j * im, ref, atol=1e-5)
+
+    # end-to-end: the streaming chain delivers all three
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=64)
+    stream = np.concatenate([re + 1j * im, np.zeros(6000, np.complex64)])
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert [p.payload for p in pkts] == payloads
+
+
+def test_chain_multichannel_single_decode_dispatch():
+    """C-channel mixed-rate streaming issues ONE payload-decode dispatch
+    per superstep covering every channel (VERDICT r4 #2), and delivers
+    exactly-once with correct channel tags."""
+    C = 16
+    rng = np.random.default_rng(13)
+    rates = (Rate.RATE_1_2_QPSK, Rate.RATE_3_4_QAM16)
+    payloads, frames = [], []
+    for c in range(C):
+        p = rng.integers(0, 256, 40, dtype=np.uint8)
+        r = rates[c % 2]
+        payloads.append((p, r))
+        frames.append(np.asarray(tx.build_frame(jnp.asarray(p), r)))
+    n = 10000
+    stream = np.zeros((C, n), np.complex64)
+    for c, f in enumerate(frames):
+        stream[c, 300 + 17 * c: 300 + 17 * c + f.size] = f
+
+    chain = ReceiverChain(rates=rates, max_length=64, channels=C,
+                          params=ChainParams(chunk_size=2048,
+                                             strides_per_step=2))
+    dispatches = []
+    orig = ReceiverChain._decode_fn
+
+    def counting(self, rate, bucket, exact=False):
+        fn = orig(self, rate, bucket, exact)
+
+        def wrapped(*a, **k):
+            dispatches.append((rate, bucket, exact))
+            return fn(*a, **k)
+        return wrapped
+
+    ReceiverChain._decode_fn = counting
+    try:
+        pkts = chain.process_samples(
+            (stream.real.astype(np.float32), stream.imag.astype(np.float32)))
+        pkts += chain.flush()
+    finally:
+        ReceiverChain._decode_fn = orig
+
+    assert sorted((p.channel, p.start) for p in pkts) == \
+        [(c, 300 + 17 * c) for c in range(C)]
+    for p in pkts:
+        want, rate = payloads[p.channel]
+        assert p.payload == want.tobytes() and p.rate == rate
+    # all 16 channels' frames start in the same superstep: exactly one
+    # universal decode dispatch covers them
+    assert len(dispatches) == 1 and dispatches[0][0] is None
