@@ -197,10 +197,13 @@ def bench_h2d_roofline(jax, jnp, n_samples=2 << 20, reps=8, passes=3):
     return best
 
 
-def bench_latency(jax, jnp, tx, rate, length, strides, reps=3):
+def bench_latency(jax, jnp, tx, rate, length, strides, reps=3,
+                  latency_target_ms=None):
     """K=1 / auto-K delivery latency (tools/latency_probe.py measurement,
     now recorded in the bench artifact - VERDICT r3 item 8): wall ms from
-    the push completing a frame's owning superstep to its DecodedPacket."""
+    the push completing a frame's owning superstep to its DecodedPacket.
+    latency_target_ms engages the adaptive-superstep ladder (the auto
+    row's production configuration, VERDICT r4 #4)."""
     from fun_ofdm_tpu.config import ChainParams
     from fun_ofdm_tpu.runtime.chain import ReceiverChain
 
@@ -208,7 +211,8 @@ def bench_latency(jax, jnp, tx, rate, length, strides, reps=3):
     fre, fim = tx.build_frame_p(jnp.asarray(payload[None, :]), rate)
     fre = np.asarray(fre)[0].astype(np.float32)
     fim = np.asarray(fim)[0].astype(np.float32)
-    params = ChainParams(strides_per_step=strides)
+    params = ChainParams(strides_per_step=strides,
+                         latency_target_ms=latency_target_ms)
     lats = []
     for rep in range(reps + 1):  # first rep warms the compile cache
         chain = ReceiverChain(rates=(rate,), max_length=length,
@@ -363,7 +367,11 @@ def main() -> None:
 
     # --- delivery latency (K=1 reference-cadence and auto superstep) ------
     lat_k1_ms = bench_latency(jax, jnp, tx, rate, length, strides=1)
-    lat_auto_ms = bench_latency(jax, jnp, tx, rate, length, strides=None)
+    # auto superstep + adaptive ladder: sparse tails flush to the device
+    # at the transport's latency floor instead of waiting out a full
+    # 2^20-sample superstep
+    lat_auto_ms = bench_latency(jax, jnp, tx, rate, length, strides=None,
+                                latency_target_ms=40.0)
 
     # --- H2D wire roofline -------------------------------------------------
     h2d_mbps = bench_h2d_roofline(jax, jnp)

@@ -21,16 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("capture", help="input capture file (complex64)")
+    ap.add_argument("capture", help="input: capture file (complex64) or "
+                    "udp://host:port to listen on (pair with examples/"
+                    "tx.py udp://...)")
     ap.add_argument("--rate", default=None,
                     help="restrict decoding to one Rate (default: all)")
     ap.add_argument("--max-length", type=int, default=1500)
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--seconds", type=float, default=None,
+                    help="UDP mode: stop after this long idle (default: "
+                    "run until 2 s with no packets after the first)")
     args = ap.parse_args()
 
     from fun_ofdm_tpu.api import Receiver
     from fun_ofdm_tpu.rates import ALL_RATES, Rate
-    from fun_ofdm_tpu.runtime.io import FileSource
+    from fun_ofdm_tpu.runtime.io import FileSource, UdpSource
 
     t0 = time.perf_counter()
     count = 0
@@ -43,7 +48,13 @@ def main() -> int:
                 print(f"[{time.perf_counter() - t0:9.3f}s] packet {count}: "
                       f"{p.length} bytes @ {p.rate.name} (start {p.start})")
 
-    source = FileSource(args.capture)
+    udp = args.capture.startswith("udp://")
+    if udp:
+        host, port = args.capture[len("udp://"):].rsplit(":", 1)
+        source = UdpSource((host or "0.0.0.0", int(port)))
+        print(f"listening on udp://{source.addr[0]}:{source.addr[1]}")
+    else:
+        source = FileSource(args.capture)
     rates = ALL_RATES if args.rate is None else (Rate[args.rate],)
     rx = Receiver(callback, source=source, rates=rates,
                   max_length=args.max_length)
@@ -58,10 +69,27 @@ def main() -> int:
     if not args.quiet:
         print("-- resumed --")
 
-    while not source.exhausted:
-        time.sleep(0.1)
+    if udp:
+        t_start = time.perf_counter()
+        last, last_change = 0, time.perf_counter()
+        while True:
+            time.sleep(0.25)
+            now = time.perf_counter()
+            if count != last:
+                last, last_change = count, now
+            if args.seconds is not None:
+                if now - t_start >= args.seconds:
+                    break
+            elif count and now - last_change > 2.0 \
+                    and source.pending == 0:
+                break  # stream went idle after traffic
+    else:
+        while not source.exhausted:
+            time.sleep(0.1)
     rx.stop()
     source.close()
+    if udp and source.stats.lost_samples:
+        print(f"lost {source.stats.lost_samples} samples to datagram gaps")
     print(f"Received {count} packets")
     return 0
 

@@ -34,7 +34,8 @@ def make_payload(rng: np.random.Generator, length: int) -> bytes:
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("out", help="output capture file (complex64)")
+    ap.add_argument("out", help="output: capture file (complex64) or "
+                    "udp://host:port (stream to a running examples/rx.py)")
     ap.add_argument("--count", type=int, default=1000)
     ap.add_argument("--length", type=int, default=1500)
     ap.add_argument("--rate", default="RATE_1_2_QPSK")
@@ -43,26 +44,49 @@ def main() -> int:
     ap.add_argument("--amp", type=float, default=1.0, help="TX amplitude")
     ap.add_argument("--batch", type=int, default=32,
                     help="frames per batched device call")
+    ap.add_argument("--wire", default="int16",
+                    help="UDP wire format: int16 (sc16), int12, int8")
+    ap.add_argument("--pace", action="store_true",
+                    help="pace UDP sends at the radio sample rate (use "
+                    "when the receiver is a live process)")
     args = ap.parse_args()
 
     from fun_ofdm_tpu.api import Transmitter
     from fun_ofdm_tpu.rates import Rate
-    from fun_ofdm_tpu.runtime.io import FileSink, RadioParams
+    from fun_ofdm_tpu.runtime.io import FileSink, RadioParams, UdpSink
 
     rate = Rate[args.rate]
-    sink = FileSink(args.out, RadioParams(tx_amp=args.amp))
+    params = RadioParams(tx_amp=args.amp)
+    if args.out.startswith("udp://"):
+        host, port = args.out[len("udp://"):].rsplit(":", 1)
+        sink = UdpSink((host or "127.0.0.1", int(port)), params,
+                       wire=args.wire)
+    else:
+        sink = FileSink(args.out, params)
     txer = Transmitter(sink)
     rng = np.random.default_rng(0)
     gap = np.zeros(args.gap, np.complex64)
 
+    import time as _time
     sent = 0
+    t0 = _time.perf_counter()
+    samples_out = 0
     while sent < args.count:
         n = min(args.batch, args.count - sent)
         payloads = [make_payload(rng, args.length) for _ in range(n)]
-        txer.send_burst(payloads, rate)
+        samples_out += txer.send_burst(payloads, rate) + gap.size
         sink.send_burst(gap)
         sent += n
+        if args.pace:
+            # don't outrun the receiver's radio clock (a real radio
+            # paces the link; UDP has no backpressure)
+            ahead = samples_out / params.sample_rate \
+                - (_time.perf_counter() - t0)
+            if ahead > 0.2:
+                _time.sleep(ahead - 0.1)
         print(f"sent {sent}/{args.count}")
+    if hasattr(sink, "flush"):
+        sink.flush()
     sink.close()
     return 0
 

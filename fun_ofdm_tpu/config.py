@@ -34,6 +34,16 @@ class ChainParams:
                           1/256 at 24 dB). Default 128 closes the boundary
                           (1/256 at 16 dB, 0 above; docs/NOTES_r3.md);
                           set 96 for reference-parity behavior.
+      lts_segments:       LTS matched-filter segmentation for
+                          CFO-tolerant timing sync. 1 (default) = the
+                          reference's fully coherent 64-tap correlation;
+                          4 = four 16-tap sub-correlations magnitude-
+                          combined, keeping detection alive out to
+                          ~+-1/32 cycles/sample of carrier offset (a
+                          coherent correlation collapses past ~3e-3).
+                          Pair with cfo_correct=True on the chain (the
+                          coarse+fine estimator cascade covers the same
+                          range, models/rx.estimate_cfo_p).
       chunk_size:         streaming chunk length (NUM_RX_SAMPLES,
                           receiver.h:16). This is the frame-ownership and
                           feed granularity; device work is batched into
@@ -55,6 +65,19 @@ class ChainParams:
                           latency-parity). Delivery latency grows with
                           the superstep: chunk_size * strides_per_step
                           samples of stream time.
+      latency_target_ms:  adaptive-superstep delivery-latency target.
+                          None (default) = fixed supersteps of
+                          strides_per_step chunks (max throughput). Set
+                          (e.g. 50.0) = the chain dispatches a FULL
+                          superstep whenever that much input is pending,
+                          but a sparse/idle stream is flushed to the
+                          device in smaller ladder dispatches once the
+                          oldest pending sample is ~half the target old,
+                          so delivery approaches the transport's
+                          round-trip floor instead of waiting out a
+                          2^20-sample superstep (the reference delivers
+                          per 4096-chunk, src/receiver.cpp:42-58).
+                          Single-channel chains only.
       min_frame_samples:  shortest frame the detection capacity must
                           accommodate. None (default) = the shortest
                           frame any configured rate can produce (the
@@ -71,10 +94,12 @@ class ChainParams:
     lts_corr_threshold: float = 0.9
     sts_length: int = 16
     lts_search: int = 128
+    lts_segments: int = 1
     chunk_size: int = 4096
     max_frames_per_chunk: int | None = None
     strides_per_step: int | None = None
     min_frame_samples: int | None = None
+    latency_target_ms: float | None = None
 
 
 DEFAULT_PARAMS = ChainParams()

@@ -141,7 +141,7 @@ def detect_frames_p(stream: CArr, max_frames: int,
     ratio = correlate.sts_ratio(stream, params.sts_length)
     ends = correlate.sts_end_events(
         ratio, params.plateau_threshold, params.sts_plateau_length)
-    lts_norm = correlate.lts_correlation(stream)
+    lts_norm = correlate.lts_correlation(stream, params.lts_segments)
 
     # Capacity guard: under noise the STS plateau fragments into several
     # STS_END events per frame; the reference simply searches (and fails)
@@ -217,7 +217,8 @@ def receive_capture_p(stream: CArr, rate: Rate, length: int,
 
 def decode_headers_p(stream: CArr, max_frames: int,
                      params: ChainParams = DEFAULT_PARAMS,
-                     drop_count_limit: int | None = None):
+                     drop_count_limit: int | None = None,
+                     cfo_correct: bool = False):
     """Detect frames and decode only their SIGNAL headers.
 
     Cheap and rate-independent (the header is always 1/2-BPSK,
@@ -241,8 +242,24 @@ def decode_headers_p(stream: CArr, max_frames: int,
               jnp.concatenate([stream[1], pad], axis=-1))
     safe = jnp.where(valid, starts, 0)
 
+    import numpy as _np
+
+    from .. import preamble as _pre
+
     def hdr_one(s):
         lts, syms = rx_model.extract_symbols_p(padded, s, 0)
+        if cfo_correct:
+            # a large CFO corrupts the SIGNAL symbol itself (3+ rad of
+            # intra-symbol rotation at 8e-3 cycles/sample), so the
+            # header pass needs the same coarse+fine cascade as the
+            # payload decode
+            w = rx_model.estimate_cfo_cascade_p(padded, s, lts)
+            lts_idx = (64 * _np.arange(2)[:, None]
+                       + _np.arange(64)[None, :])
+            sym_idx = ((_pre.SYMBOL0_OFFSET - _pre.LTS1_OFFSET)
+                       + _np.arange(64)[None, :])
+            lts = rx_model._derotate_p(lts, w, lts_idx)
+            syms = rx_model._derotate_p(syms, w, sym_idx)
         h_inv = rx_model.channel_estimate_p(lts)
         data = rx_model.equalize_and_track_p(syms, h_inv)
         sig = (data[0][..., 0, :], data[1][..., 0, :])

@@ -92,6 +92,55 @@ def estimate_cfo_p(lts_time: CArr) -> jnp.ndarray:
     return jnp.arctan2(acc_im, acc_re) / 64.0
 
 
+def extract_sts_p(samples: CArr, start) -> CArr:
+    """Slice the 160-sample STS region starting at the preamble start."""
+    start = jnp.asarray(start, jnp.int32)
+
+    def slice_one(x, p):
+        return jax.lax.dynamic_slice(x, (p,), (160,))
+
+    fn = slice_one
+    for _ in samples[0].shape[:-1]:
+        fn = jax.vmap(fn)
+    return fn(samples[0], start), fn(samples[1], start)
+
+
+def estimate_cfo_coarse_p(sts_time: CArr) -> jnp.ndarray:
+    """Coarse CFO from the short training sequence (16-lag), rad/sample.
+
+    sts_time: planar (..., 160). The STS repeats every 16 samples, so
+    x[n+16] = x[n] * e^{j*w*16} and w = angle(sum x[n+16]*conj(x[n]))/16 -
+    unambiguous out to +-pi/16 rad/sample = +-1/32 cycles/sample, covering
+    a realistic oscillator error (+-20 ppm at 5.72 GHz / 5 MS/s is
+    +-0.023), where the 64-lag LTS estimate aliases past +-1/128. Averaged
+    over the 144 available products. (The reference has no STS-stage CFO
+    at all; its LTS loop is dead code, src/timing_sync.cpp:109-112.)
+    """
+    re, im = sts_time
+    a = (re[..., :-16], im[..., :-16])
+    b = (re[..., 16:], im[..., 16:])
+    acc_re = jnp.sum(b[0] * a[0] + b[1] * a[1], axis=-1)
+    acc_im = jnp.sum(b[1] * a[0] - b[0] * a[1], axis=-1)
+    return jnp.arctan2(acc_im, acc_re) / 16.0
+
+
+def estimate_cfo_cascade_p(samples: CArr, start, lts_time: CArr
+                           ) -> jnp.ndarray:
+    """Coarse (STS) + fine (LTS) CFO estimate, rad/sample.
+
+    The fine estimate is exact modulo 2*pi/64; the coarse one is
+    unambiguous to +-pi/16 but noisy. The cascade keeps the fine
+    accuracy over the coarse range: w = wf + round((wc - wf)/(2*pi/64))
+    * 2*pi/64. At small true CFO the rounding term is zero and the
+    result equals the plain fine estimate.
+    """
+    wf = estimate_cfo_p(lts_time)
+    wc = estimate_cfo_coarse_p(extract_sts_p(samples, start))
+    period = 2.0 * np.pi / 64.0
+    k = jnp.round((wc - wf) / period)
+    return wf + k * period
+
+
 def _derotate_p(x: CArr, w: jnp.ndarray, idx) -> CArr:
     """Multiply planar x by e^{-j * w * idx} (idx broadcast over x's tail)."""
     ang = w[..., None, None] * jnp.asarray(idx, x[0].dtype)
@@ -165,7 +214,7 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
                              samples[0].shape[:-1])
     lts, syms = extract_symbols_p(samples, start, nsym)
     if cfo_correct:
-        w = estimate_cfo_p(lts)
+        w = estimate_cfo_cascade_p(samples, start, lts)
         # sample indices relative to the LTS1 body start; the leftover
         # constant phase e^{-j*w*(LTS1 abs offset)} is common to LTS and
         # data symbols, so the zero-forcing equalizer absorbs it
@@ -218,7 +267,7 @@ def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
                              samples[0].shape[:-1])
     lts, syms = extract_symbols_p(samples, start, nsym_max)
     if cfo_correct:
-        w = estimate_cfo_p(lts)
+        w = estimate_cfo_cascade_p(samples, start, lts)
         lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
         sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
                    + 80 * np.arange(1 + nsym_max)[:, None]
@@ -275,7 +324,7 @@ def decode_frame_anyrate_p(samples: CArr, rates: tuple[Rate, ...],
                              samples[0].shape[:-1])
     lts, syms = extract_symbols_p(samples, start, nsym_max)
     if cfo_correct:
-        w = estimate_cfo_p(lts)
+        w = estimate_cfo_cascade_p(samples, start, lts)
         lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
         sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
                    + 80 * np.arange(1 + nsym_max)[:, None]

@@ -134,20 +134,33 @@ def leading_window_any(mask: jnp.ndarray, w: int) -> jnp.ndarray:
     return (right - left) > 0
 
 
-@functools.lru_cache(maxsize=1)
-def _lts_polyphase_taps():
+@functools.lru_cache(maxsize=None)
+def _lts_polyphase_taps(segments: int = 1):
     """Static polyphase tap matrices for the MXU correlation.
 
     A[c, r] = taps[c - r] for c >= r (row q's contribution to output
     phase r), B[c, r] = taps[64 + c - r] for c < r (row q+1's); the
-    all-ones masks compute the window power with the same split."""
+    all-ones masks compute the window power with the same split.
+
+    segments > 1 splits the 64 taps into that many contiguous segments
+    and block-stacks their tap matrices horizontally ((64, segments*64)),
+    so ONE matmul yields every segment's partial correlation
+    (out column k*64 + r = segment k's correlation at phase r). Used by
+    the CFO-tolerant sync (see lts_correlation)."""
     taps = np.asarray(pre.LTS_TIME_DOMAIN_CONJ)
     c = np.arange(64)[:, None]
     r = np.arange(64)[None, :]
-    lo = np.where(c >= r, c - r, 0)
-    hi = np.where(c < r, 64 + c - r, 0)
-    a = np.where(c >= r, taps[lo], 0)
-    b = np.where(c < r, taps[hi], 0)
+    lo_idx = np.where(c >= r, c - r, 0)
+    hi_idx = np.where(c < r, 64 + c - r, 0)
+    seg = 64 // segments
+    a_blocks, b_blocks = [], []
+    for k in range(segments):
+        in_seg_lo = (c >= r) & (lo_idx // seg == k)
+        in_seg_hi = (c < r) & (hi_idx // seg == k)
+        a_blocks.append(np.where(in_seg_lo, taps[lo_idx], 0))
+        b_blocks.append(np.where(in_seg_hi, taps[hi_idx], 0))
+    a = np.concatenate(a_blocks, axis=1)     # (64, segments*64)
+    b = np.concatenate(b_blocks, axis=1)
     return {
         "a_re": a.real.astype(np.float32),
         "a_im": a.imag.astype(np.float32),
@@ -158,12 +171,23 @@ def _lts_polyphase_taps():
     }
 
 
-def lts_correlation(x: CArr) -> jnp.ndarray:
+def lts_correlation(x: CArr, segments: int = 1) -> jnp.ndarray:
     """64-tap LTS matched filter over the whole stream.
 
     norm[p] = |sum_s x[p+s] * conj(LTS[s])| / sum_s |x[p+s]|^2
     (reference: timing_sync.cpp:77-84). Positions with p+63 beyond the end
     are zero. Returns (..., n) float.
+
+    segments > 1 makes the metric CFO-tolerant: the 64 taps split into
+    `segments` contiguous sub-correlations whose MAGNITUDES are summed
+    (norm[p] = sum_k |corr_k[p]| / power[p]). A carrier offset w rotates
+    a coherent 64-sample correlation through 2*pi*w*64 radians and
+    collapses its peak (0.62 of nominal at w = 8e-3 cycles/sample - below
+    the 0.9 threshold, so the frame is never found); 4x16-sample segments
+    keep the peak >= 0.95 there and >= 0.9 out to ~ +-1/32, the coarse
+    CFO estimator's full unambiguous range (models/rx.estimate_cfo_p).
+    Noise raises the noncoherent floor ~2x, so this stays opt-in
+    (ChainParams.lts_segments) for CFO-impaired deployments.
 
     Polyphase MXU formulation: with p = 64q + r, y[64q+r] splits into two
     (n/64, 64) @ (64, 64) matmuls (row q against a lower-triangular tap
@@ -176,7 +200,9 @@ def lts_correlation(x: CArr) -> jnp.ndarray:
     """
     re, im = x
     n = re.shape[-1]
-    t = _lts_polyphase_taps()
+    if 64 % segments:
+        raise ValueError("segments must divide 64")
+    t = _lts_polyphase_taps(segments)
     q = -(-n // 64)                 # rows covering every start position
     padlen = (q + 1) * 64 - n       # +1 row so row q+1 always exists
     pad = jnp.zeros(re.shape[:-1] + (padlen,), re.dtype)
@@ -201,10 +227,18 @@ def lts_correlation(x: CArr) -> jnp.ndarray:
     power = mm(xs[..., :q, :], t["ones_a"]) + mm(xs[..., 1:, :], t["ones_b"])
 
     shape = re.shape[:-1] + (q * 64,)
-    c_re = c_re.reshape(shape)[..., :n]
-    c_im = c_im.reshape(shape)[..., :n]
+    if segments > 1:
+        # (..., q, segments*64) -> per-segment magnitudes, summed
+        seg_shape = re.shape[:-1] + (q, segments, 64)
+        c_re = c_re.reshape(seg_shape)
+        c_im = c_im.reshape(seg_shape)
+        mag = jnp.sqrt(c_re * c_re + c_im * c_im).sum(axis=-2)
+        mag = mag.reshape(shape)[..., :n]
+    else:
+        c_re = c_re.reshape(shape)[..., :n]
+        c_im = c_im.reshape(shape)[..., :n]
+        mag = jnp.sqrt(c_re * c_re + c_im * c_im)
     power = power.reshape(shape)[..., :n]
     valid = jnp.arange(n) <= n - 64
-    mag = jnp.sqrt(c_re * c_re + c_im * c_im)
     norm = jnp.where(power > 0, mag / jnp.where(power > 0, power, 1), 0.0)
     return jnp.where(valid, norm, 0.0)

@@ -136,7 +136,9 @@ def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def _build_step_fn(step: int, max_frames: int, params: ChainParams,
-                   ingest_dtype: str, channels: int = 1):
+                   ingest_dtype: str, channels: int = 1,
+                   cfo_correct: bool = False, window: int | None = None,
+                   halo: int | None = None):
     """Fused superstep: roll the device window by the incoming samples AND
     run the detection+header pass. Returns (window_re, window_im,
     header_block) where header_block is ONE flat int32 array — per
@@ -149,18 +151,31 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     Module-level + lru_cache so every ReceiverChain with the same config
     shares one traced/compiled function (a per-instance closure would
     re-trace per chain: ~1.5 s overhead per construction at 1M-sample
-    supersteps even with the persistent XLA cache hitting)."""
+    supersteps even with the persistent XLA cache hitting).
+
+    window/halo generalize to the adaptive-superstep ladder: the owned
+    region is the window slice [window-halo-step, window-halo) — the
+    samples lagging ingestion by exactly `halo` — which tiles the stream
+    for ANY sequence of dispatch sizes (fixed mode is the special case
+    window = step + halo, slice offset 0)."""
     import jax
     import jax.numpy as jnp
     from ..models import frontend
 
-    ds = step + DETECT_LEAD
+    if window is None:
+        window = step + (halo or DETECT_LEAD)
+    if halo is None:
+        halo = window - step
+    off = window - halo - step
+    ds_lo, ds_hi = off, window - halo + DETECT_LEAD
     _, scale = INGEST_FORMATS[ingest_dtype]
 
     def headers(wr, wi):
         h = frontend.decode_headers_p(
-            (wr[..., :ds], wi[..., :ds]), max_frames=max_frames,
-            params=params, drop_count_limit=step)
+            (wr[..., ds_lo:ds_hi], wi[..., ds_lo:ds_hi]),
+            max_frames=max_frames,
+            params=params, drop_count_limit=step,
+            cfo_correct=cfo_correct)
         drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
             h["detect_dropped"])
         return jnp.concatenate([jnp.stack([
@@ -186,8 +201,8 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
         elif ingest_dtype != "float32":
             cr = cr.astype(jnp.float32) * np.float32(1.0 / scale)
             ci = ci.astype(jnp.float32) * np.float32(1.0 / scale)
-        wr = jnp.concatenate([wr[..., step:], cr], axis=-1)
-        wi = jnp.concatenate([wi[..., step:], ci], axis=-1)
+        wr = jnp.concatenate([wr[..., cr.shape[-1]:], cr], axis=-1)
+        wi = jnp.concatenate([wi[..., ci.shape[-1]:], ci], axis=-1)
         if channels > 1:
             flat = jax.vmap(headers)(wr, wi).reshape(-1)
         else:
@@ -456,7 +471,19 @@ class ReceiverChain:
         self.step = self.stride * self.strides_per_step
         halo = max(params_for(r).frame_samples(max_length)
                    for r in self.rates)
-        self.window = self.step + max(halo, DETECT_LEAD)
+        self.halo = max(halo, DETECT_LEAD)
+        self.window = self.step + self.halo
+        self.adaptive = params.latency_target_ms is not None
+        if self.adaptive:
+            if self.channels != 1:
+                raise ValueError("latency_target_ms requires channels=1")
+            # dispatch-size ladder (in strides): sparse/idle periods take
+            # small dispatches near the transport's latency floor, dense
+            # backlog takes full supersteps (VERDICT r4 #4); each rung is
+            # one compiled step-fn variant over the SAME window
+            self._ladder = [r for r in (1, 4, 16, 64, 256)
+                            if r < self.strides_per_step]
+            self._ladder.append(self.strides_per_step)
         self.verbose = bool(verbose)
         self.pipeline_depth = max(1, int(pipeline_depth))
         # Detection capacity: the reference has no cap (its detector tags
@@ -469,6 +496,7 @@ class ReceiverChain:
             # tuned capacity: the caller promises frames this short or
             # shorter won't occur (detect_saturated flags violations)
             min_frame = max(min_frame, int(params.min_frame_samples))
+        self._min_frame = min_frame
         if params.max_frames_per_chunk is not None:
             self.max_frames = (int(params.max_frames_per_chunk)
                                * self.strides_per_step)
@@ -494,14 +522,18 @@ class ReceiverChain:
 
         # host side: slice arbitrary pushes into exact superstep chunks
         # (single-channel: the native chunker; multi-channel: a python
-        # list-accumulator over the (C, n) axis)
+        # list-accumulator over the (C, n) axis; adaptive: a pending
+        # float buffer drained by _pump at ladder sizes)
         self._rechunk = native.Chunker(self.step, self.step) \
-            if self.channels == 1 else None
+            if self.channels == 1 and not self.adaptive else None
         self._mc_buf: list = []          # list of (C, k) float32 pairs
         self._mc_avail = 0
+        self._pend: list = []            # adaptive: (re, im) 1-D pieces
+        self._pend_n = 0
+        self._pend_t0: float | None = None
         # device side: rolling window state
         self._dev_win = None          # planar (window,) device arrays
-        self._rolls = 0               # supersteps ingested (incl. pad)
+        self._s_total = 0             # samples ingested (incl. warmup pad)
         self._t_real = 0              # real samples pushed
         # in-flight queues: headers awaiting sync, decodes awaiting sync
         self._hdr_q: collections.deque = collections.deque()
@@ -526,9 +558,20 @@ class ReceiverChain:
         except Exception:
             pass
 
-    def _step_fn(self):
-        return _build_step_fn(self.step, self.max_frames, self.params,
-                              self.ingest_dtype, self.channels)
+    def _capacity(self, step: int) -> int:
+        """Detection slot capacity for one dispatch of `step` samples."""
+        if step == self.step:
+            return self.max_frames
+        if self.params.max_frames_per_chunk is not None:
+            return (int(self.params.max_frames_per_chunk)
+                    * max(1, step // self.stride))
+        return -(-(step + DETECT_LEAD) // self._min_frame) + 1
+
+    def _step_fn(self, step: int | None = None):
+        step = self.step if step is None else step
+        return _build_step_fn(step, self._capacity(step), self.params,
+                              self.ingest_dtype, self.channels,
+                              self.cfo_correct, self.window, self.halo)
 
     def _decode_fn(self, rate: Rate | None, bucket: int,
                    exact: bool = False):
@@ -542,6 +585,55 @@ class ReceiverChain:
                                 self.cfo_correct, impl)
 
     # --- streaming API ----------------------------------------------------
+
+    def _pend_push(self, re: np.ndarray, im: np.ndarray) -> None:
+        if self._pend_t0 is None:
+            self._pend_t0 = time.perf_counter()
+        self._pend.append((re, im))
+        self._pend_n += re.size
+
+    def _pend_take(self, n: int, pad_to: int | None = None):
+        """Pop n samples from the adaptive pending buffer (zero-pad to
+        pad_to when set)."""
+        taken_re, taken_im, got = [], [], 0
+        while got < n:
+            re, im = self._pend[0]
+            need = n - got
+            if re.size <= need:
+                taken_re.append(re)
+                taken_im.append(im)
+                got += re.size
+                self._pend.pop(0)
+            else:
+                taken_re.append(re[:need])
+                taken_im.append(im[:need])
+                self._pend[0] = (re[need:], im[need:])
+                got = n
+        self._pend_n -= n
+        if self._pend_n == 0:
+            self._pend_t0 = None
+        if pad_to is not None and pad_to > n:
+            taken_re.append(np.zeros(pad_to - n, np.float32))
+            taken_im.append(np.zeros(pad_to - n, np.float32))
+        return np.concatenate(taken_re), np.concatenate(taken_im)
+
+    def _pump(self) -> None:
+        """Adaptive dispatch policy: full supersteps while backlogged;
+        once the oldest pending sample is ~half the latency target old,
+        flush the backlog in the largest ladder dispatches that fit."""
+        full = self.step
+        while self._pend_n >= full:
+            self._ingest(*self._pend_take(full))
+        if not self._pend_n:
+            return
+        age_ms = (time.perf_counter() - self._pend_t0) * 1e3
+        if age_ms < self.params.latency_target_ms / 2:
+            return
+        for r in reversed(self._ladder):
+            k = r * self.stride
+            while self._pend_n >= k:
+                self._ingest(*self._pend_take(k))
+        # a sub-chunk residue stays pending (flush() pads it out)
 
     def process_samples(self, samples) -> list[DecodedPacket]:
         """Feed a chunk of samples; return packets completed by it.
@@ -558,6 +650,21 @@ class ReceiverChain:
         """
         if self.channels > 1:
             return self._process_multichannel(samples)
+        if self.adaptive:
+            if isinstance(samples, tuple):
+                re = _dequantize_wire(np.asarray(samples[0]))
+                im = _dequantize_wire(np.asarray(samples[1]))
+            else:
+                arr = np.asarray(samples)
+                re = np.ascontiguousarray(arr.real, np.float32)
+                im = np.ascontiguousarray(arr.imag, np.float32)
+            re = np.ascontiguousarray(re, np.float32)
+            im = np.ascontiguousarray(im, np.float32)
+            self.stats.samples_in += re.size
+            self._t_real += re.size
+            self._pend_push(re, im)
+            self._pump()
+            return self._drain(force=False)
         if isinstance(samples, tuple):
             n = samples[0].size
             np_dtype, scale = INGEST_FORMATS[self.ingest_dtype]
@@ -708,7 +815,15 @@ class ReceiverChain:
             # nothing real ever arrived: don't force compilation of the
             # step fn just to roll zeros (ADVICE r2)
             return []
-        if self.channels == 1:
+        if self.adaptive:
+            if self._pend_n:
+                k = next(r for r in self._ladder
+                         if r * self.stride >= self._pend_n)
+                re, im = self._pend_take(self._pend_n,
+                                         pad_to=k * self.stride)
+                self._ingest(re, im)
+            zeros = np.zeros(self.stride, np.float32)
+        elif self.channels == 1:
             tail = self._rechunk.pop(pad=True)
             if tail is not None:
                 self._ingest(tail[0], tail[1])
@@ -721,10 +836,9 @@ class ReceiverChain:
                 self._ingest(np.concatenate([re, z], axis=-1),
                              np.concatenate([im, z], axis=-1))
             zeros = np.zeros((self.channels, self.step), np.float32)
-        # keep rolling zero supersteps until every real sample's owned
-        # window has been processed
-        while self._rolls * self.step - self.window + self.step \
-                < self._t_real:
+        # keep rolling zero dispatches until every real sample has been
+        # owned (ownership lags ingestion by `halo`)
+        while self._s_total - self.halo < self._t_real:
             self._ingest(zeros, zeros)
         packets = self._drain(force=True)
         if not terminal:
@@ -732,13 +846,13 @@ class ReceiverChain:
             # zeroed global sample counter; the jitted step/decode fns
             # and their compiled executables are untouched
             self._dev_win = None
-            self._rolls = 0
+            self._s_total = 0
             self._t_real = 0
-            if self.channels == 1:
+            self._pend, self._pend_n, self._pend_t0 = [], 0, None
+            if self._rechunk is not None:
                 self._rechunk = native.Chunker(self.step, self.step)
-            else:
-                self._mc_buf = []
-                self._mc_avail = 0
+            self._mc_buf = []
+            self._mc_avail = 0
         return packets
 
     # --- pipeline stages ---------------------------------------------------
@@ -762,13 +876,18 @@ class ReceiverChain:
             lim = float(np.iinfo(dtype).max)
             c_re = np.clip(np.rint(c_re * scale), -lim, lim).astype(dtype)
             c_im = np.clip(np.rint(c_im * scale), -lim, lim).astype(dtype)
-        wr, wi, hdr = self._step_fn()(
+        k = c_re.shape[-1]
+        if self.ingest_dtype == "int12" and c_re.dtype == np.uint8:
+            k = k * 2 // 3
+        wr, wi, hdr = self._step_fn(k)(
             self._dev_win[0], self._dev_win[1],
             jnp.asarray(c_re), jnp.asarray(c_im))
         self._dev_win = (wr, wi)
-        self._rolls += 1
-        gpos = self._rolls * self.step - self.window
-        if gpos + self.step <= 0:
+        # this dispatch owns the k samples lagging ingestion by `halo`
+        # (tiles the stream for any dispatch-size sequence)
+        gpos = self._s_total - self.halo
+        self._s_total += k
+        if gpos + k <= 0:
             return  # warm-up: owned region entirely before the stream
         # start the device->host copy now so the wire time overlaps the
         # next supersteps' compute instead of serializing into the sync
@@ -776,7 +895,7 @@ class ReceiverChain:
         if copy_async is not None:
             copy_async()
         self.stats.windows += 1
-        self._hdr_q.append((gpos, self._dev_win, hdr))
+        self._hdr_q.append((gpos, k, self._dev_win, hdr))
 
     @staticmethod
     def _ready(arr) -> bool:
@@ -784,7 +903,7 @@ class ReceiverChain:
         return bool(is_ready()) if is_ready is not None else False
 
     def _dispatch_one(self, win, rate: Rate | None, chs, local_starts,
-                      jobs) -> None:
+                      off, jobs) -> None:
         """Dispatch decode jobs for (channel, start) pairs gathered across
         ALL channels, padded to fixed buckets so frame count never mints a
         fresh jit shape; overflow splits into max-bucket jobs.
@@ -797,7 +916,7 @@ class ReceiverChain:
         import jax.numpy as jnp
 
         flat = (chs.astype(np.int64) * self.window
-                + local_starts).astype(np.int32)
+                + off + local_starts).astype(np.int32)
         for lo in range(0, flat.size, DECODE_BUCKETS[-1]):
             part = slice(lo, lo + DECODE_BUCKETS[-1])
             fpart = flat[part]
@@ -809,21 +928,24 @@ class ReceiverChain:
             copy_async = getattr(out, "copy_to_host_async", None)
             if copy_async is not None:
                 copy_async()
-            jobs.append((rate, chs[part], local_starts[part], out))
+            jobs.append((rate, chs[part], local_starts[part],
+                         fpart.copy(), out))
 
-    def _dispatch_decodes(self, win, chs, starts, fields, jobs) -> None:
+    def _dispatch_decodes(self, win, chs, starts, fields, off,
+                          jobs) -> None:
         """Queue batched payload decodes for one superstep's owned frames
         (all channels merged; stage 2 dispatch, fetched by a later
-        _drain). chs/starts/fields: equal-length arrays over frames."""
+        _drain). chs/starts/fields: equal-length arrays over frames; off:
+        owned-region offset in window coordinates."""
         if self.decode_mode == "universal":
             # ONE mixed-rate dispatch per bucket: every frame of every
             # channel decodes at its header's rate in the same graph
-            self._dispatch_one(win, None, chs, starts, jobs)
+            self._dispatch_one(win, None, chs, starts, off, jobs)
         else:
             for field_val in np.unique(fields):
                 sel = fields == field_val
                 self._dispatch_one(win, self._valid_fields[int(field_val)],
-                                   chs[sel], starts[sel], jobs)
+                                   chs[sel], starts[sel], off, jobs)
 
     def _redecode_exact(self, win, rate: Rate | None,
                         flat_bad) -> np.ndarray:
@@ -851,7 +973,7 @@ class ReceiverChain:
         """Sync one superstep's decode jobs into DecodedPackets."""
         wpkts: list[DecodedPacket] = []
         t1 = time.perf_counter()
-        for rate, chs, starts, out in jobs:
+        for rate, chs, starts, flat, out in jobs:
             row = self.max_length + 5
             packed = np.asarray(out)[: chs.size * row].reshape(-1, row)
             exact = packed[:, self.max_length + 3].astype(bool)
@@ -861,9 +983,7 @@ class ReceiverChain:
                 # by re-decoding the flagged frames sequentially
                 self.stats.viterbi_fallbacks += int(bad.size)
                 packed = packed.copy()
-                flat_bad = (chs[bad].astype(np.int64) * self.window
-                            + starts[bad]).astype(np.int32)
-                packed[bad] = self._redecode_exact(win, rate, flat_bad)
+                packed[bad] = self._redecode_exact(win, rate, flat[bad])
             payloads = packed[:, :self.max_length]
             crc_ok = packed[:, self.max_length].astype(bool)
             hdr_len = (packed[:, self.max_length + 1].astype(np.int32)
@@ -905,11 +1025,12 @@ class ReceiverChain:
         """
         keep = 0 if force else self.pipeline_depth
         while self._hdr_q and (len(self._hdr_q) > keep
-                               or self._ready(self._hdr_q[0][2])):
-            gpos, win, hdr = self._hdr_q.popleft()
+                               or self._ready(self._hdr_q[0][3])):
+            gpos, step_k, win, hdr = self._hdr_q.popleft()
+            cap = self._capacity(step_k)
             t0 = time.perf_counter()
-            hs = np.asarray(hdr)[: self.channels * 6 * self.max_frames]
-            hs = hs.reshape(self.channels, 6, self.max_frames)
+            hs = np.asarray(hdr)[: self.channels * 6 * cap]
+            hs = hs.reshape(self.channels, 6, cap)
             self.stats.time_headers_s += time.perf_counter() - t0
             jobs: list = []
             sel_chs, sel_starts, sel_fields = [], [], []
@@ -934,8 +1055,8 @@ class ReceiverChain:
                     self.stats.detect_saturated += 1
                     if self.verbose:
                         print("Detection saturated "
-                              f"({self.max_frames} slots)", file=sys.stderr)
-                owned = header_ok & (starts >= 0) & (starts < self.step) \
+                              f"({cap} slots)", file=sys.stderr)
+                owned = header_ok & (starts >= 0) & (starts < step_k) \
                     & (gpos + starts >= 0)
                 if owned.any():
                     # dedup equal starts: a noise-fragmented plateau can
@@ -965,11 +1086,14 @@ class ReceiverChain:
                     sel_fields.append(fields[idx])
             if sel_chs:
                 # ONE decode dispatch (per rate group; universal mode:
-                # one total) covering every channel's frames
+                # one total) covering every channel's frames. The decode
+                # indexes window coordinates: owned-region starts sit at
+                # offset window - halo - step_k (0 in fixed mode).
+                off = self.window - self.halo - step_k
                 self._dispatch_decodes(
                     win, np.concatenate(sel_chs),
                     np.concatenate(sel_starts),
-                    np.concatenate(sel_fields), jobs)
+                    np.concatenate(sel_fields), off, jobs)
             if jobs:
                 self._dec_q.append((gpos, win, jobs))
 

@@ -18,6 +18,17 @@ build, those roles map to:
                         processes on two USRPs; here one process, one bus).
   * FileSource/FileSink — capture replay and recording (interleaved
                         complex64, the common SDR file format).
+  * UdpSink/UdpSource — networked sample transport: TX and RX as two OS
+                        processes (or machines) streaming quantized
+                        samples over UDP, the radio-free equivalent of
+                        the reference's two-USRP air link
+                        (src/usrp.cpp:91-130, README.md:299-311). The
+                        wire speaks the same sc16/sc12/sc8 formats as
+                        the chain's ingest path, with per-datagram
+                        sample-index sequencing: lost datagrams become
+                        zero gaps (a real radio's dropped samples), so
+                        stream positions stay aligned and the chain just
+                        loses those frames.
 
 All sources yield planar (re, im) float32 numpy arrays; get_samples always
 returns exactly n samples (zero/noise-filled when the bus runs dry, like a
@@ -27,6 +38,8 @@ real radio's constant sample clock).
 from __future__ import annotations
 
 import queue
+import socket
+import struct
 import threading
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -67,6 +80,10 @@ class RadioStats:
     underruns: int = 0
     #: RX samples synthesized as idle fill
     fill_samples: int = 0
+    #: UDP: datagrams that arrived out of order/duplicated and were dropped
+    reordered: int = 0
+    #: UDP: samples lost to datagram gaps (zero-filled to keep alignment)
+    lost_samples: int = 0
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -222,6 +239,197 @@ class LoopbackRadio:
             self._tx_q.put(None)
             self._tx_thread.join(timeout=10)
             self._tx_thread = None
+
+
+#: UDP datagram header: magic, version, wire-format id, sample count,
+#: stream sample index of the first sample
+_UDP_HDR = struct.Struct("<4sBBHQ")
+_UDP_MAGIC = b"FOFD"
+_UDP_FMT = {"int16": 0, "int12": 1, "int8": 2}
+_UDP_FMT_INV = {v: k for k, v in _UDP_FMT.items()}
+#: bytes per sample per planar component on the wire
+_WIRE_BYTES = {"int16": 2, "int12": 1.5, "int8": 1}
+
+
+def _quantize_wire(re: np.ndarray, im: np.ndarray, fmt: str):
+    from .chain import INGEST_FORMATS, pack12
+
+    np_dtype, scale = INGEST_FORMATS[fmt]
+    if fmt == "int12":
+        return pack12(re, scale), pack12(im, scale)
+    lim = float(np.iinfo(np_dtype).max)
+    return (np.clip(np.rint(re * scale), -lim, lim).astype(np_dtype),
+            np.clip(np.rint(im * scale), -lim, lim).astype(np_dtype))
+
+
+def _dequantize_bytes(buf: bytes, n: int, fmt: str):
+    from .chain import INGEST_FORMATS, unpack12_np
+
+    np_dtype, scale = INGEST_FORMATS[fmt]
+    if fmt == "int12":
+        comp = n * 3 // 2
+        re = unpack12_np(np.frombuffer(buf[:comp], np.uint8))
+        im = unpack12_np(np.frombuffer(buf[comp:2 * comp], np.uint8))
+        return re, im
+    comp = n * np.dtype(np_dtype).itemsize
+    re = np.frombuffer(buf[:comp], np_dtype).astype(np.float32)
+    im = np.frombuffer(buf[comp:2 * comp], np_dtype).astype(np.float32)
+    inv = np.float32(1.0 / scale)
+    return re * inv, im * inv
+
+
+class UdpSink:
+    """Send TX bursts to a UdpSource over the network (radio-free
+    two-process transceiver; reference analogue: usrp::send_burst pushing
+    samples up the Ethernet link to the radio, src/usrp.cpp:91-123).
+
+    wire: over-the-wire sample format ("int16" = UHD sc16 default,
+    "int12", "int8"); samples_per_packet defaults to an MTU-safe
+    datagram (<= 1472 bytes with the 16-byte header). Sample indices in
+    the headers let the receiver zero-fill datagram loss so stream
+    alignment survives.
+    """
+
+    def __init__(self, addr: tuple[str, int],
+                 params: RadioParams = RadioParams(),
+                 wire: str = "int16",
+                 samples_per_packet: int | None = None):
+        if wire not in _UDP_FMT:
+            raise ValueError(f"wire must be one of {sorted(_UDP_FMT)}")
+        self.params = params
+        self.wire = wire
+        if samples_per_packet is None:
+            samples_per_packet = int((1472 - _UDP_HDR.size)
+                                     // (2 * _WIRE_BYTES[wire]))
+            samples_per_packet -= samples_per_packet % 2
+        if samples_per_packet % 2:
+            raise ValueError("samples_per_packet must be even")
+        self.spp = samples_per_packet
+        self._addr = (addr[0], int(addr[1]))
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._seq = 0            # stream sample index of the next sample
+        self._res_re = np.zeros(0, np.float32)
+        self._res_im = np.zeros(0, np.float32)
+        self._lock = threading.Lock()
+
+    def _send_packet(self, re: np.ndarray, im: np.ndarray) -> None:
+        qre, qim = _quantize_wire(re, im, self.wire)
+        hdr = _UDP_HDR.pack(_UDP_MAGIC, 1, _UDP_FMT[self.wire],
+                            re.size, self._seq)
+        self._sock.sendto(hdr + qre.tobytes() + qim.tobytes(), self._addr)
+        self._seq += re.size
+
+    def send_burst(self, samples) -> None:
+        re, im = _planar_f32(samples)
+        amp = np.float32(self.params.tx_amp)
+        with self._lock:
+            re = np.concatenate([self._res_re, re * amp])
+            im = np.concatenate([self._res_im, im * amp])
+            n_full = re.size // self.spp * self.spp
+            for i in range(0, n_full, self.spp):
+                self._send_packet(re[i:i + self.spp], im[i:i + self.spp])
+            self._res_re, self._res_im = re[n_full:], im[n_full:]
+
+    send_burst_sync = send_burst
+
+    def flush(self) -> None:
+        """Send any buffered sub-packet residue (padded even)."""
+        with self._lock:
+            if self._res_re.size:
+                pad = self._res_re.size % 2
+                re = np.concatenate(
+                    [self._res_re, np.zeros(pad, np.float32)])
+                im = np.concatenate(
+                    [self._res_im, np.zeros(pad, np.float32)])
+                self._send_packet(re, im)
+                self._res_re = np.zeros(0, np.float32)
+                self._res_im = np.zeros(0, np.float32)
+
+    def close(self) -> None:
+        self.flush()
+        self._sock.close()
+
+
+class UdpSource:
+    """Receive a sample stream from a UdpSink (reference analogue:
+    usrp::get_samples pulling from the radio's Ethernet link,
+    src/usrp.cpp:125-130).
+
+    A background thread reassembles datagrams by their sample index:
+    gaps (lost datagrams) are zero-filled and counted
+    (stats.lost_samples), late/duplicate datagrams are dropped
+    (stats.reordered) - stream positions stay aligned, so the receiver
+    chain loses exactly the frames the network lost, like a radio
+    dropping samples. get_samples blocks up to the radio-clock time for
+    n samples, then zero-fills (stats.underruns), matching LoopbackRadio.
+    """
+
+    def __init__(self, addr: tuple[str, int] = ("0.0.0.0", 0),
+                 params: RadioParams = RadioParams(),
+                 capacity: int = 1 << 22):
+        self.params = params
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((addr[0], int(addr[1])))
+        self._sock.settimeout(0.25)
+        self.addr = self._sock.getsockname()
+        self._ring = SampleRing(capacity)
+        self._next_seq: int | None = None   # lock onto the first datagram
+        self._closed = False
+        self.stats = RadioStats()
+        self._thread = threading.Thread(
+            target=self._rx_loop, name="fun_ofdm_udp_rx", daemon=True)
+        self._thread.start()
+
+    def _rx_loop(self) -> None:
+        while not self._closed:
+            try:
+                pkt, _ = self._sock.recvfrom(1 << 16)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            if len(pkt) < _UDP_HDR.size:
+                continue
+            magic, ver, fmt, n, seq = _UDP_HDR.unpack_from(pkt)
+            if magic != _UDP_MAGIC or ver != 1 or fmt not in _UDP_FMT_INV:
+                continue
+            if self._next_seq is None:
+                self._next_seq = seq
+            if seq < self._next_seq:
+                self.stats.reordered += 1
+                continue
+            if seq > self._next_seq:
+                gap = int(seq - self._next_seq)
+                self.stats.lost_samples += gap
+                z = np.zeros(min(gap, 1 << 20), np.float32)
+                self._ring.push((z, z), blocking=True)
+            re, im = _dequantize_bytes(pkt[_UDP_HDR.size:], n,
+                                       _UDP_FMT_INV[fmt])
+            self._ring.push((re, im), blocking=True)
+            self._next_seq = seq + n
+
+    def get_samples(self, n: int):
+        re, im = self._ring.pop(n, timeout=n / self.params.sample_rate)
+        pad = n - re.size
+        if pad:
+            self.stats.underruns += 1
+            self.stats.fill_samples += int(pad)
+            re = np.concatenate([re, np.zeros(pad, np.float32)])
+            im = np.concatenate([im, np.zeros(pad, np.float32)])
+        return re, im
+
+    @property
+    def pending(self) -> int:
+        return len(self._ring)
+
+    def close(self) -> None:
+        self._closed = True
+        self._ring.close()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        self._thread.join(timeout=5)
 
 
 class FileSource:

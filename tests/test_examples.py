@@ -72,3 +72,43 @@ def test_capture_example_anyrate(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "Received 3 packets" in r.stdout, r.stdout + r.stderr
     assert "RATE_2_3_QAM64" in r.stdout
+
+
+@pytest.mark.slow
+def test_tx_rx_examples_via_udp_two_processes():
+    """The reference's flagship demo is two SEPARATE machines running
+    test_tx / test_rx over the air (README.md:299-311); radio-free
+    equivalent: examples/rx.py listening on UDP and examples/tx.py
+    streaming to it from another OS process, >90% delivery (the
+    reference's own health bar)."""
+    import socket as _socket
+
+    s = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    rx_proc = subprocess.Popen(
+        [sys.executable, os.path.join(_REPO, "examples", "rx.py"),
+         f"udp://127.0.0.1:{port}", "--rate", "RATE_1_2_QPSK",
+         "--max-length", "200", "--quiet"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=_REPO, env=env)
+    try:
+        import time as _time
+        _time.sleep(3)  # let the listener bind + receiver warm up
+        t = _run("tx.py", f"udp://127.0.0.1:{port}", "--count", "10",
+                 "--length", "150", "--rate", "RATE_1_2_QPSK",
+                 "--gap", "3000", "--pace")
+        assert t.returncode == 0, t.stdout + t.stderr
+        out, err = rx_proc.communicate(timeout=300)
+    finally:
+        if rx_proc.poll() is None:
+            rx_proc.kill()
+            rx_proc.communicate()
+    assert rx_proc.returncode == 0, out + err
+    got = int(out.split("Received ")[1].split(" packets")[0])
+    assert got >= 9, out + err  # >90% of 10

@@ -915,3 +915,165 @@ def test_chain_multichannel_single_decode_dispatch():
     # all 16 channels' frames start in the same superstep: exactly one
     # universal decode dispatch covers them
     assert len(dispatches) == 1 and dispatches[0][0] is None
+
+
+def test_chain_cfo_cascade_heavy_offset():
+    """Streaming chain decodes under carrier offsets far past the fine
+    estimator's +-1/128 aliasing range: segmented LTS sync
+    (ChainParams.lts_segments=4) keeps detection alive and the coarse+fine
+    cascade (models/rx.estimate_cfo_cascade_p) corrects it (VERDICT r4
+    #3; the reference's CFO loop is dead code and it SIGABRTs on such
+    streams, docs/REF_COMPARE.md)."""
+    rng = np.random.default_rng(17)
+    payload = rng.integers(0, 256, 80, dtype=np.uint8)
+    f = np.asarray(tx.build_frame(jnp.asarray(payload), Rate.RATE_3_4_QAM16))
+    n = 16384
+    base = np.zeros(n, np.complex64)
+    starts = [600, 9000]
+    for p in starts:
+        base[p:p + f.size] = f
+    prms = np.sqrt(np.mean(np.abs(f) ** 2))
+    sigma = prms / np.sqrt(2 * 10 ** (24 / 10))  # 24 dB SNR
+    for cfo in (4e-3, 8e-3):
+        rot = base * np.exp(2j * np.pi * cfo * np.arange(n))
+        rot = (rot + sigma * (rng.normal(size=n) + 1j * rng.normal(size=n))
+               ).astype(np.complex64)
+        chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=80,
+                              params=ChainParams(lts_segments=4),
+                              cfo_correct=True)
+        pkts = chain.process_samples(rot) + chain.flush()
+        assert sorted(p.start for p in pkts) == starts, (cfo, pkts)
+        assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+def test_chain_adaptive_superstep_sparse_delivery():
+    """With latency_target_ms set, a sparse stream is flushed to the
+    device in ladder dispatches once pending samples age past ~half the
+    target, instead of waiting out a full superstep (VERDICT r4 #4);
+    ownership stays exactly-once across mixed dispatch sizes."""
+    rng = np.random.default_rng(23)
+    payload = rng.integers(0, 256, 48, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=16,
+                         latency_target_ms=30.0)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=48,
+                          params=params)
+    # frame placed mid-stream; total pushed stays FAR below a full
+    # 16-chunk superstep plus halo, so fixed mode would sit on it
+    stream = np.zeros(6 * 1024, np.complex64)
+    stream[1500:1500 + frame.size] = frame
+    pkts = list(chain.process_samples(stream))
+    deadline = time.time() + 20.0
+    idle = np.zeros(1024, np.complex64)
+    while not pkts and time.time() < deadline:
+        time.sleep(0.02)
+        pkts += chain.process_samples(idle)
+    assert [(p.start, p.payload) for p in pkts] == [(1500, payload.tobytes())]
+    # continued stream: later frames also delivered exactly once
+    stream2 = np.zeros(3 * 1024, np.complex64)
+    stream2[100:100 + frame.size] = frame
+    base = chain._t_real
+    pkts2 = list(chain.process_samples(stream2))
+    deadline = time.time() + 20.0
+    while not pkts2 and time.time() < deadline:
+        time.sleep(0.02)
+        pkts2 += chain.process_samples(idle)
+    pkts2 += [p for p in chain.flush() if p.start >= base]
+    assert [(p.start, p.payload) for p in pkts2] == \
+        [(base + 100, payload.tobytes())]
+
+
+def test_chain_adaptive_dense_stream_exactly_once():
+    """Adaptive mode on a dense stream behaves like fixed mode: full
+    supersteps, every frame delivered once with correct starts."""
+    rng = np.random.default_rng(29)
+    payload = rng.integers(0, 256, 40, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=8,
+                         latency_target_ms=50.0)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=40,
+                          params=params)
+    starts = [50, 1100, 2248, 8192, 12000, 20000]
+    n = 24 * 1024
+    stream = np.zeros(n, np.complex64)
+    for st in starts:
+        stream[st:st + frame.size] += frame
+    pkts = []
+    for i in range(0, n, 3000):
+        pkts += chain.process_samples(stream[i:i + 3000])
+    pkts += chain.flush()
+    assert sorted(p.start for p in pkts) == starts
+    assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+@pytest.mark.parametrize("wire", ["int16", "int12", "int8"])
+def test_udp_sink_source_roundtrip(wire):
+    """UdpSink -> UdpSource over localhost delivers a decodable stream in
+    every wire format (VERDICT r4 #5: the networked sample transport the
+    reference gets from its USRP Ethernet link, src/usrp.cpp:91-130)."""
+    from fun_ofdm_tpu.runtime.io import UdpSink, UdpSource
+
+    src = UdpSource(("127.0.0.1", 0))
+    sink = UdpSink(("127.0.0.1", src.addr[1]), wire=wire)
+    rng = np.random.default_rng(31)
+    payload = rng.integers(0, 256, 50, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    stream = np.zeros(9000, np.complex64)
+    stream[777:777 + frame.size] = 0.5 * frame
+    sink.send_burst(stream)
+    sink.flush()
+
+    deadline = time.time() + 10
+    while src.pending < 9000 and time.time() < deadline:
+        time.sleep(0.02)
+    re, im = src.get_samples(9000)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=64)
+    pkts = chain.process_samples((re, im)) + chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(777, payload.tobytes())]
+    assert src.stats.lost_samples == 0
+    sink.close()
+    src.close()
+
+
+def test_udp_source_zero_fills_datagram_gaps():
+    """A lost datagram becomes a zero gap of exactly its sample extent:
+    stream alignment survives and later frames still decode."""
+    from fun_ofdm_tpu.runtime.io import UdpSink, UdpSource
+
+    src = UdpSource(("127.0.0.1", 0))
+    sink = UdpSink(("127.0.0.1", src.addr[1]), wire="int16")
+    spp = sink.spp
+    rng = np.random.default_rng(37)
+    payload = rng.integers(0, 256, 30, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    n = 4 * spp + frame.size + 2000
+    n -= n % 2
+    stream = np.zeros(n, np.complex64)
+    pos = 4 * spp + 100   # frame sits entirely after the dropped packet
+    stream[pos:pos + frame.size] = 0.5 * frame
+
+    # send packet 0, silently skip packet 1 (simulated loss), rest normal
+    re_all = np.ascontiguousarray(stream.real, np.float32)
+    im_all = np.ascontiguousarray(stream.imag, np.float32)
+    for i in range(0, n, spp):
+        j = min(i + spp, n)
+        if i == spp:
+            sink._seq += j - i      # the datagram the network ate
+            continue
+        sink._send_packet(re_all[i:j], im_all[i:j])
+
+    deadline = time.time() + 10
+    while src.pending < n and time.time() < deadline:
+        time.sleep(0.02)
+    re, im = src.get_samples(n)
+    assert src.stats.lost_samples == spp
+    np.testing.assert_array_equal(re[spp:2 * spp], 0.0)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=64)
+    pkts = chain.process_samples((re, im)) + chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(pos, payload.tobytes())]
+    sink.close()
+    src.close()

@@ -137,12 +137,13 @@ def run_reference(binary, stream, tmpdir) -> list[bytes] | None:
 
 
 def run_ours(stream, rate, length, lts_search,
-             cfo_correct=False) -> list[bytes]:
+             cfo_correct=False, lts_segments=1) -> list[bytes]:
     from fun_ofdm_tpu.config import ChainParams
     from fun_ofdm_tpu.runtime.chain import ReceiverChain
 
     chain = ReceiverChain(rates=(rate,), max_length=length,
-                          params=ChainParams(lts_search=lts_search),
+                          params=ChainParams(lts_search=lts_search,
+                                             lts_segments=lts_segments),
                           cfo_correct=cfo_correct)
     pkts = []
     s64 = stream.astype(np.complex64)
@@ -197,7 +198,7 @@ def main() -> int:
         tmpdir = pathlib.Path(td)
         binary = build_binary(tmpdir)
         rate = Rate.RATE_3_4_QAM16
-        for cfo in (5e-4, 1e-3, 2e-3):
+        for cfo in (5e-4, 1e-3, 2e-3, 4e-3, 8e-3):
             stream, planted = make_stream(
                 rate, args.length, n_frames, 24, seed=77_000 + int(cfo * 1e6),
                 cfo_norm=cfo)
@@ -206,9 +207,12 @@ def main() -> int:
                        else count_matches(ref_pkts, planted))
             got_off = count_matches(
                 run_ours(stream, rate, args.length, 128), planted)
+            # cfo_correct pairs with the CFO-tolerant segmented sync:
+            # past ~3e-3 cycles/sample the coherent LTS correlation
+            # itself collapses below threshold (ops/correlate.py)
             got_on = count_matches(
-                run_ours(stream, rate, args.length, 128, cfo_correct=True),
-                planted)
+                run_ours(stream, rate, args.length, 128, cfo_correct=True,
+                         lts_segments=4), planted)
             cfo_rows.append((rate.name, cfo, got_ref, got_off, got_on,
                              n_frames))
             print(f"CFO {cfo:g}: ref {got_ref}  ours {got_off}  "
@@ -271,8 +275,12 @@ def write_markdown(rows, length, elapsed, cfo_rows=()) -> None:
             "(`for(k = LTS1; k < LTS1; k++)` never runs,",
             "timing_sync.cpp:109-112), so it has no defense against",
             "oscillator error beyond its per-symbol pilot phase tracking;",
-            "`cfo_correct=True` is our working LTS-based correction. At",
-            "5 MS/s, 1e-3 cycles/sample = a 5 kHz oscillator error.",
+            "`cfo_correct=True` is our working coarse(STS)+fine(LTS)",
+            "cascade paired with the segmented CFO-tolerant LTS sync",
+            "(ChainParams.lts_segments=4) - unambiguous to ~+-1/32",
+            "cycles/sample, a realistic oscillator range (+-20 ppm at",
+            "5.72 GHz / 5 MS/s is +-0.023). At 5 MS/s, 1e-3",
+            "cycles/sample = a 5 kHz oscillator error.",
             "",
             "| rate | CFO (cycles/sample) | reference | ours (cfo off) |"
             " ours (cfo_correct=True) |",
