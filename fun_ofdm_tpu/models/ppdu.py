@@ -314,9 +314,42 @@ def _anyrate_tables(rates: tuple[Rate, ...], max_length: int):
             nbits_max, n_bytes_max)
 
 
+def _anyrate_coded_select(samples, rates, ridx, n_coded_max):
+    """Per-frame coded soft stream via STATIC per-rate pipelines + select.
+
+    The gather-table strategy pays one ~2*nbits_max-index dynamic
+    take_along_axis per frame (measured ~4.5x the per-symbol cost of the
+    static single-rate pipeline, docs/NOTES_r5.md); here each configured
+    rate's demod -> deinterleave -> depuncture runs as the SAME static
+    ops the single-rate decoder uses (fixed permutations XLA folds into
+    layouts), and an R-way elementwise select by the frame's header rate
+    picks the stream. Output-identical to the gather table: coded slots
+    past a frame's real extent differ only where the dynamic-length
+    Viterbi masks them.
+    """
+    acc = None
+    for i, r in enumerate(rates):
+        soft = qam.demodulate_p(samples, r)
+        de = interleave.deinterleave(soft)
+        dp = puncture.depuncture(de, r).astype(jnp.int32)
+        cur = dp[..., :n_coded_max]
+        pad = n_coded_max - cur.shape[-1]
+        if pad > 0:
+            cur = jnp.concatenate(
+                [cur, jnp.full(cur.shape[:-1] + (pad,),
+                               int(puncture.ERASURE), jnp.int32)], axis=-1)
+        if acc is None:
+            acc = jnp.where((ridx == i)[..., None], cur,
+                            jnp.full_like(cur, int(puncture.ERASURE)))
+        else:
+            acc = jnp.where((ridx == i)[..., None], cur, acc)
+    return acc
+
+
 def decode_data_anyrate_p(samples, rates: tuple[Rate, ...], rate_idx,
                           lengths, max_length: int,
-                          viterbi_impl: str | None = None):
+                          viterbi_impl: str | None = None,
+                          strategy: str | None = None):
     """Universal payload decode: BOTH rate and length are traced values.
 
     One jitted graph decodes a frame of any configured rate: every sample
@@ -336,8 +369,19 @@ def decode_data_anyrate_p(samples, rates: tuple[Rate, ...], rate_idx,
     rate field; out-of-range = unknown rate, reported crc_ok=False).
     lengths: (...,) traced payload byte counts.
 
+    strategy: "select" (default) assembles each frame's coded stream by
+    running every configured rate's STATIC demod/deinterleave/depuncture
+    pipeline and selecting by header rate; "gather" uses the fused
+    per-rate gather tables over the 13-wide all-modulation soft vector.
+    Identical outputs; select measures ~2x faster on TPU (the dynamic
+    per-frame gather is the anyrate decoder's dominant cost,
+    docs/NOTES_r5.md). FUN_OFDM_ANYRATE overrides.
+
     Returns (payload (..., max_length), crc_ok, service, viterbi_exact).
     """
+    import os
+    if strategy is None:
+        strategy = os.environ.get("FUN_OFDM_ANYRATE") or "select"
     tabs, dbps_tab, _, nbits_max, n_bytes_max = _anyrate_tables(
         tuple(rates), max_length)
 
@@ -353,13 +397,16 @@ def decode_data_anyrate_p(samples, rates: tuple[Rate, ...], rate_idx,
     nsym = (frame_bits + dbps - 1) // dbps
     nbits = nsym * dbps  # per-frame data bits incl in-buffer tail
 
-    soft_all = qam.demodulate_all_p(samples)       # (..., m, 13)
-    flat13 = soft_all.reshape(*soft_all.shape[:-2], -1)
-    tab = jnp.asarray(tabs)[ridx]                  # (..., 2*nbits_max)
-    idx = jnp.clip(tab, 0, flat13.shape[-1] - 1)
-    coded = jnp.where(tab >= 0,
-                      jnp.take_along_axis(flat13, idx, axis=-1),
-                      jnp.uint8(puncture.ERASURE)).astype(jnp.int32)
+    if strategy == "select":
+        coded = _anyrate_coded_select(samples, rates, ridx, 2 * nbits_max)
+    else:
+        soft_all = qam.demodulate_all_p(samples)   # (..., m, 13)
+        flat13 = soft_all.reshape(*soft_all.shape[:-2], -1)
+        tab = jnp.asarray(tabs)[ridx]              # (..., 2*nbits_max)
+        idx = jnp.clip(tab, 0, flat13.shape[-1] - 1)
+        coded = jnp.where(tab >= 0,
+                          jnp.take_along_axis(flat13, idx, axis=-1),
+                          jnp.uint8(puncture.ERASURE)).astype(jnp.int32)
 
     decoded_bits, exact_ok = viterbi.viterbi_decode(
         coded, nbits_max - TAIL_BITS, nbits_dynamic=nbits - TAIL_BITS,

@@ -26,6 +26,20 @@ from .. import preamble as pre
 from .cplx import CArr
 
 
+def _mm_precision():
+    """Matmul precision for the correlator banks.
+
+    HIGHEST (6-pass bf16 f32 emulation) is the reference-parity default;
+    FUN_OFDM_CORR_PRECISION=high selects the 3-pass variant (~1e-6
+    relative error on these O(1) normalized metrics - far below any
+    threshold margin) at half the MXU cost. A/B escape hatch, same
+    pattern as FUN_OFDM_VITERBI.
+    """
+    import os
+    name = os.environ.get("FUN_OFDM_CORR_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def _trailing_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
     """y[n] = sum_{k=n-w+1..n} x[k], zeros before the start. Shape-preserving.
 
@@ -51,7 +65,7 @@ def _trailing_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
     def mm(rr, m):
         return jax.lax.dot_general(
             rr, m, (((rr.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_mm_precision(),
             preferred_element_type=jnp.float32)
 
     y = mm(rows[..., 1:, :], tri_a) + mm(rows[..., :-1, :], tri_b)
@@ -214,7 +228,7 @@ def lts_correlation(x: CArr, segments: int = 1) -> jnp.ndarray:
         return jax.lax.dot_general(
             rows, jnp.asarray(m),
             (((rows.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_mm_precision(),
             preferred_element_type=jnp.float32)
 
     r0_r, r1_r = xr[..., :q, :], xr[..., 1:, :]
