@@ -143,14 +143,15 @@ def run_stream(stream_planar, expected, chunk_feed=4096, prequant=False,
     n_samples = sc_re.size
     probe = ReceiverChain(**chain_kwargs)
     if prequant:
+        from fun_ofdm_tpu.runtime.chain import PACKED_FORMATS, _pack_np
         np_dtype, scale = INGEST_FORMATS[probe.ingest_dtype]
         n_whole = sc_re.size // probe.step * probe.step
         n_samples = n_whole
-        if probe.ingest_dtype == "int12":
-            from fun_ofdm_tpu.runtime.chain import pack12
-            sc_re = pack12(sc_re[:n_whole], scale)
-            sc_im = pack12(sc_im[:n_whole], scale)
-            chunk_feed = probe.step * 3 // 2
+        if probe.ingest_dtype in PACKED_FORMATS:
+            gb, gs = PACKED_FORMATS[probe.ingest_dtype]
+            sc_re = _pack_np(sc_re[:n_whole], probe.ingest_dtype, scale)
+            sc_im = _pack_np(sc_im[:n_whole], probe.ingest_dtype, scale)
+            chunk_feed = probe.step * gb // gs
         else:
             lim = float(np.iinfo(np_dtype).max)
             sc_re = np.clip(np.rint(sc_re[:n_whole] * scale),
@@ -377,16 +378,19 @@ def main() -> None:
     h2d_mbps = bench_h2d_roofline(jax, jnp)
 
     # --- streaming all-rates (the Receiver default config) ---------------
-    # sc12 wire format: the mixed stream carries 64-QAM frames, which sc8
-    # quantization breaks (measured) - sc12 is transparent at 25% fewer
-    # bytes than sc16. min_frame_samples=4000: the shortest 1500-byte
-    # frame of any rate is 4880 samples.
+    # int10 wire format (4 samples / 5 bytes, ~34 dB quantization SNR -
+    # transparent through 64-QAM at 17% fewer bytes than sc12; the row is
+    # wire-ceiling-bound, docs/NOTES_r5.md). min_frame_samples=4000: the
+    # shortest 1500-byte frame of any rate is 4880 samples;
+    # header_slots=384 sizes the SIGNAL budget to the stream's ~314
+    # frames/superstep (overflow re-runs a full pass, nothing lost).
     mixed, n_mixed = build_mixed_rate_stream(
         jax, jnp, tx, length, target_samples=12 << 20)
     allrates_kwargs = dict(rates=ALL_RATES, max_length=length,
                            params=ChainParams(strides_per_step=512,
-                                              min_frame_samples=4000),
-                           ingest_dtype="int12", prequant=True)
+                                              min_frame_samples=4000,
+                                              header_slots=384),
+                           ingest_dtype="int10", prequant=True)
     run_stream((mixed[0][:3 << 20], mixed[1][:3 << 20]), None,
                **allrates_kwargs)
     mixed_unit = mixed[0].size * len(ALL_RATES) // n_mixed

@@ -65,6 +65,16 @@ class ChainParams:
                           latency-parity). Delivery latency grows with
                           the superstep: chunk_size * strides_per_step
                           samples of stream time.
+      header_slots:       SIGNAL-decode budget per superstep. None
+                          (default) = decode a header for every
+                          detection slot (worst-case capacity). A tuned
+                          pipeline can set the expected frame count plus
+                          margin: header compute then scales with real
+                          frame density, and the rare superstep whose
+                          detection count exceeds the budget transparently
+                          re-runs a full-capacity header pass
+                          (stats.header_overflows counts them) - nothing
+                          is ever lost.
       latency_target_ms:  adaptive-superstep delivery-latency target.
                           None (default) = fixed supersteps of
                           strides_per_step chunks (max throughput). Set
@@ -100,6 +110,7 @@ class ChainParams:
     strides_per_step: int | None = None
     min_frame_samples: int | None = None
     latency_target_ms: float | None = None
+    header_slots: int | None = None
 
 
 DEFAULT_PARAMS = ChainParams()

@@ -218,7 +218,8 @@ def receive_capture_p(stream: CArr, rate: Rate, length: int,
 def decode_headers_p(stream: CArr, max_frames: int,
                      params: ChainParams = DEFAULT_PARAMS,
                      drop_count_limit: int | None = None,
-                     cfo_correct: bool = False):
+                     cfo_correct: bool = False,
+                     hdr_slots: int | None = None):
     """Detect frames and decode only their SIGNAL headers.
 
     Cheap and rate-independent (the header is always 1/2-BPSK,
@@ -229,12 +230,24 @@ def decode_headers_p(stream: CArr, max_frames: int,
 
     Returns dict: starts, valid, rate_field, hdr_length, header_ok,
     detect_dropped (() int32: events lost to the blocked extractor's
-    per-block cap — surfaced by the chain as stats.detect_dropped).
+    per-block cap — surfaced by the chain as stats.detect_dropped),
+    n_detected (() int32: total detection events).
+
+    hdr_slots: SIGNAL-decode only the first hdr_slots detection slots
+    (None = all max_frames). Detection slots are ordered by position, so
+    whenever n_detected <= hdr_slots nothing is lost - header compute
+    then scales with expected frame density instead of worst-case slot
+    capacity (VERDICT r4 #9); a caller seeing n_detected > hdr_slots
+    must fall back to a full-capacity pass (runtime/chain.py does).
     """
     n = stream[0].shape[-1]
     starts, valid, dropped = detect_frames_p(stream, max_frames, params,
                                              return_dropped=True,
                                              drop_count_limit=drop_count_limit)
+    n_detected = jnp.sum(valid.astype(jnp.int32))
+    if hdr_slots is not None and hdr_slots < max_frames:
+        starts = starts[:hdr_slots]
+        valid = valid[:hdr_slots]
     # header needs preamble + SIGNAL symbol = 400 samples; pad so clamped
     # slices near the stream end stay aligned
     pad = jnp.zeros(stream[0].shape[:-1] + (400,), stream[0].dtype)
@@ -273,6 +286,7 @@ def decode_headers_p(stream: CArr, max_frames: int,
         "hdr_length": hdr_length,
         "header_ok": header_ok & valid,
         "detect_dropped": dropped,
+        "n_detected": n_detected,
     }
 
 

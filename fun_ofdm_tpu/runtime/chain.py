@@ -86,8 +86,16 @@ INGEST_FORMATS = {
     "float32": (np.float32, 1.0),
     "int16": (np.int16, 8192.0),
     "int12": (np.uint8, 512.0),   # packed: 3 bytes per 2 samples
+    "int10": (np.uint8, 128.0),   # packed: 5 bytes per 4 samples
     "int8": (np.int8, 32.0),
 }
+
+#: packed integer formats: name -> (bytes, samples) per pack group.
+#: int12 is UHD's sc12 OTW format; int10 is OUR wire format (no UHD
+#: equivalent): ~34 dB quantization SNR at the nominal +-4 full scale -
+#: still ~7 dB above 64-QAM's needs - at 17% fewer wire bytes than sc12
+#: (the all-rates streaming row is wire-ceiling-bound, docs/NOTES_r5.md).
+PACKED_FORMATS = {"int12": (3, 2), "int10": (5, 4)}
 
 #: canonical wire scale per integer sample dtype (inverse of INGEST_FORMATS;
 #: int12's packed uint8 buffers are handled separately - see pack12)
@@ -123,6 +131,47 @@ def unpack12_np(b: np.ndarray, scale: float = 512.0) -> np.ndarray:
     return (v.astype(np.float32) * np.float32(1.0 / scale))
 
 
+def pack10(x: np.ndarray, scale: float = 128.0) -> np.ndarray:
+    """Quantize float samples to 10-bit and pack 4 samples into 5 bytes
+    (planar-per-component; our own wire format - see PACKED_FORMATS).
+    Last axis length must be a multiple of 4; leading axes pass through."""
+    v = np.clip(np.rint(np.asarray(x, np.float64) * scale),
+                -512, 511).astype(np.int16) & 0x3FF
+    s0, s1, s2, s3 = (v[..., 0::4].astype(np.uint32),
+                      v[..., 1::4].astype(np.uint32),
+                      v[..., 2::4].astype(np.uint32),
+                      v[..., 3::4].astype(np.uint32))
+    out = np.empty(v.shape[:-1] + (v.shape[-1] * 5 // 4,), np.uint8)
+    out[..., 0::5] = s0 & 0xFF
+    out[..., 1::5] = (s0 >> 8) | ((s1 & 0x3F) << 2)
+    out[..., 2::5] = (s1 >> 6) | ((s2 & 0xF) << 4)
+    out[..., 3::5] = (s2 >> 4) | ((s3 & 0x3) << 6)
+    out[..., 4::5] = s3 >> 2
+    return out
+
+
+def unpack10_np(b: np.ndarray, scale: float = 128.0) -> np.ndarray:
+    """Inverse of pack10 -> float32 samples (host side, last axis)."""
+    b = np.asarray(b, np.uint8)
+    b0, b1, b2, b3, b4 = (b[..., i::5].astype(np.int32) for i in range(5))
+    s0 = b0 | ((b1 & 0x3) << 8)
+    s1 = (b1 >> 2) | ((b2 & 0xF) << 6)
+    s2 = (b2 >> 4) | ((b3 & 0x3F) << 4)
+    s3 = (b3 >> 6) | (b4 << 2)
+    v = np.empty(b0.shape[:-1] + (b0.shape[-1] * 4,), np.int32)
+    v[..., 0::4], v[..., 1::4], v[..., 2::4], v[..., 3::4] = s0, s1, s2, s3
+    v -= (v & 0x200) << 1  # sign-extend 10 bits
+    return v.astype(np.float32) * np.float32(1.0 / scale)
+
+
+def _pack_np(x: np.ndarray, fmt: str, scale: float) -> np.ndarray:
+    return pack12(x, scale) if fmt == "int12" else pack10(x, scale)
+
+
+def _unpack_np(b: np.ndarray, fmt: str, scale: float) -> np.ndarray:
+    return unpack12_np(b, scale) if fmt == "int12" else unpack10_np(b, scale)
+
+
 def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
     """Integer wire-format samples -> float32 at the dtype's canonical
     scale; float arrays pass through. Used on the slow ingest path so that
@@ -138,7 +187,8 @@ def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
 def _build_step_fn(step: int, max_frames: int, params: ChainParams,
                    ingest_dtype: str, channels: int = 1,
                    cfo_correct: bool = False, window: int | None = None,
-                   halo: int | None = None):
+                   halo: int | None = None,
+                   hdr_slots: int | None = None):
     """Fused superstep: roll the device window by the incoming samples AND
     run the detection+header pass. Returns (window_re, window_im,
     header_block) where header_block is ONE flat int32 array — per
@@ -170,21 +220,23 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     ds_lo, ds_hi = off, window - halo + DETECT_LEAD
     _, scale = INGEST_FORMATS[ingest_dtype]
 
+    n_hdr = max_frames if hdr_slots is None else min(hdr_slots, max_frames)
+
     def headers(wr, wi):
         h = frontend.decode_headers_p(
             (wr[..., ds_lo:ds_hi], wi[..., ds_lo:ds_hi]),
             max_frames=max_frames,
             params=params, drop_count_limit=step,
-            cfo_correct=cfo_correct)
-        drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
-            h["detect_dropped"])
+            cfo_correct=cfo_correct, hdr_slots=n_hdr)
+        drop_row = jnp.zeros((n_hdr,), jnp.int32).at[0].set(
+            h["detect_dropped"]).at[1].set(h["n_detected"])
         return jnp.concatenate([jnp.stack([
             h["starts"].astype(jnp.int32),
             h["valid"].astype(jnp.int32),
             h["rate_field"].astype(jnp.int32),
             h["hdr_length"].astype(jnp.int32),
             h["header_ok"].astype(jnp.int32),
-        ]), drop_row[None, :]])                  # (6, max_frames)
+        ]), drop_row[None, :]])                  # (6, n_hdr)
 
     def fn(wr, wi, cr, ci):
         if ingest_dtype == "int12":
@@ -195,6 +247,19 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
                 v = jnp.stack([even, odd], axis=-1).reshape(
                     *b.shape[:-1], -1)
                 v = v - ((v & 0x800) << 1)  # sign-extend 12 bits
+                return v.astype(jnp.float32) * np.float32(1.0 / scale)
+            cr = unpack(cr)
+            ci = unpack(ci)
+        elif ingest_dtype == "int10":
+            def unpack(b):
+                t = b.astype(jnp.int32).reshape(*b.shape[:-1], -1, 5)
+                s0 = t[..., 0] | ((t[..., 1] & 0x3) << 8)
+                s1 = (t[..., 1] >> 2) | ((t[..., 2] & 0xF) << 6)
+                s2 = (t[..., 2] >> 4) | ((t[..., 3] & 0x3F) << 4)
+                s3 = (t[..., 3] >> 6) | (t[..., 4] << 2)
+                v = jnp.stack([s0, s1, s2, s3], axis=-1).reshape(
+                    *b.shape[:-1], -1)
+                v = v - ((v & 0x200) << 1)  # sign-extend 10 bits
                 return v.astype(jnp.float32) * np.float32(1.0 / scale)
             cr = unpack(cr)
             ci = unpack(ci)
@@ -209,6 +274,47 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
             flat = headers(wr, wi).reshape(-1)
         pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
         return wr, wi, jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_headers_full_fn(step: int, max_frames: int, params: ChainParams,
+                           channels: int, cfo_correct: bool,
+                           window: int, halo: int):
+    """Full-capacity header pass over an already-rolled window (the
+    header_slots overflow fallback: rare supersteps with more detection
+    events than the budget re-run here; one extra dispatch, nothing
+    lost)."""
+    import jax
+    import jax.numpy as jnp
+    from ..models import frontend
+
+    off = window - halo - step
+    ds_lo, ds_hi = off, window - halo + DETECT_LEAD
+
+    def headers(wr, wi):
+        h = frontend.decode_headers_p(
+            (wr[..., ds_lo:ds_hi], wi[..., ds_lo:ds_hi]),
+            max_frames=max_frames, params=params, drop_count_limit=step,
+            cfo_correct=cfo_correct)
+        drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
+            h["detect_dropped"]).at[1].set(h["n_detected"])
+        return jnp.concatenate([jnp.stack([
+            h["starts"].astype(jnp.int32),
+            h["valid"].astype(jnp.int32),
+            h["rate_field"].astype(jnp.int32),
+            h["hdr_length"].astype(jnp.int32),
+            h["header_ok"].astype(jnp.int32),
+        ]), drop_row[None, :]])
+
+    def fn(wr, wi):
+        if channels > 1:
+            flat = jax.vmap(headers)(wr, wi).reshape(-1)
+        else:
+            flat = headers(wr, wi).reshape(-1)
+        pad = max(0, FETCH_PAD_BYTES // 4 - flat.shape[0])
+        return jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
 
     return jax.jit(fn)
 
@@ -347,6 +453,9 @@ class ChainStats:
     detect_dropped: int = 0
     #: duplicate equal frame starts removed before decode
     dup_starts: int = 0
+    #: supersteps whose detection count exceeded the header_slots budget
+    #: and re-ran the full-capacity header pass (nothing lost)
+    header_overflows: int = 0
     #: frames re-decoded with the exact Viterbi because the block-overlap
     #: kernel's merge guard flagged a possible splice failure (the
     #: fallback preserves the chain's bit-exactness contract)
@@ -592,7 +701,8 @@ class ReceiverChain:
         step = self.step if step is None else step
         return _build_step_fn(step, self._capacity(step), self.params,
                               self.ingest_dtype, self.channels,
-                              self.cfo_correct, self.window, self.halo)
+                              self.cfo_correct, self.window, self.halo,
+                              self.params.header_slots)
 
     def _decode_fn(self, rate, bucket: int, exact: bool = False):
         """Jitted decode for one bucket. rate: a Rate (single-rate pass),
@@ -692,12 +802,14 @@ class ReceiverChain:
         if isinstance(samples, tuple):
             n = samples[0].size
             np_dtype, scale = INGEST_FORMATS[self.ingest_dtype]
-            if self.ingest_dtype == "int12" \
+            if self.ingest_dtype in PACKED_FORMATS \
                     and samples[0].dtype == np.uint8 \
                     and samples[1].dtype == np.uint8:
-                # packed sc12 buffers: 3 bytes per 2 samples per component
-                pb = self.step * 3 // 2
-                n = samples[0].size * 2 // 3
+                # packed wire buffers (int12: 3 B / 2 samples; int10:
+                # 5 B / 4 samples, per planar component)
+                gb, gs = PACKED_FORMATS[self.ingest_dtype]
+                pb = self.step * gb // gs
+                n = samples[0].size * gs // gb
                 if (self._rechunk.available == 0
                         and samples[0].size % pb == 0):
                     self.stats.samples_in += n
@@ -706,11 +818,12 @@ class ReceiverChain:
                         self._ingest(samples[0][i:i + pb],
                                      samples[1][i:i + pb])
                     return self._drain(force=False)
-                if samples[0].size % 3:
-                    raise ValueError("packed int12 buffers must be a "
-                                     "multiple of 3 bytes")
-                samples = (unpack12_np(samples[0], scale),
-                           unpack12_np(samples[1], scale))
+                if samples[0].size % gb:
+                    raise ValueError(
+                        f"packed {self.ingest_dtype} buffers must be a "
+                        f"multiple of {gb} bytes")
+                samples = (_unpack_np(samples[0], self.ingest_dtype, scale),
+                           _unpack_np(samples[1], self.ingest_dtype, scale))
             elif (samples[0].dtype == np_dtype
                     and samples[1].dtype == np_dtype
                     and np_dtype != np.float32
@@ -779,21 +892,23 @@ class ReceiverChain:
                 f"multi-channel chain expects (channels={self.channels}, n)"
                 " buffers")
         np_dtype, scale = INGEST_FORMATS[self.ingest_dtype]
-        if self.ingest_dtype == "int12" and re.dtype == np.uint8 \
+        if self.ingest_dtype in PACKED_FORMATS and re.dtype == np.uint8 \
                 and im.dtype == np.uint8:
-            pb = self.step * 3 // 2
-            n = re.shape[-1] * 2 // 3
+            gb, gs = PACKED_FORMATS[self.ingest_dtype]
+            pb = self.step * gb // gs
+            n = re.shape[-1] * gs // gb
             if self._mc_avail == 0 and re.shape[-1] % pb == 0:
                 self.stats.samples_in += n * self.channels
                 self._t_real += n
                 for i in range(0, re.shape[-1], pb):
                     self._ingest(re[:, i:i + pb], im[:, i:i + pb])
                 return self._drain(force=False)
-            if re.shape[-1] % 3:
-                raise ValueError("packed int12 buffers must be a "
-                                 "multiple of 3 bytes")
-            re = unpack12_np(re, scale)
-            im = unpack12_np(im, scale)
+            if re.shape[-1] % gb:
+                raise ValueError(
+                    f"packed {self.ingest_dtype} buffers must be a "
+                    f"multiple of {gb} bytes")
+            re = _unpack_np(re, self.ingest_dtype, scale)
+            im = _unpack_np(im, self.ingest_dtype, scale)
         elif (re.dtype == np_dtype and im.dtype == np_dtype
                 and np_dtype != np.float32
                 and self._mc_avail == 0
@@ -892,17 +1007,18 @@ class ReceiverChain:
             z = jnp.zeros(shape, jnp.float32)
             self._dev_win = (z, z)
         dtype, scale = INGEST_FORMATS[self.ingest_dtype]
-        if self.ingest_dtype == "int12":
+        if self.ingest_dtype in PACKED_FORMATS:
             if c_re.dtype != np.uint8:
-                c_re = pack12(c_re, scale)
-                c_im = pack12(c_im, scale)
+                c_re = _pack_np(c_re, self.ingest_dtype, scale)
+                c_im = _pack_np(c_im, self.ingest_dtype, scale)
         elif self.ingest_dtype != "float32" and c_re.dtype != dtype:
             lim = float(np.iinfo(dtype).max)
             c_re = np.clip(np.rint(c_re * scale), -lim, lim).astype(dtype)
             c_im = np.clip(np.rint(c_im * scale), -lim, lim).astype(dtype)
         k = c_re.shape[-1]
-        if self.ingest_dtype == "int12" and c_re.dtype == np.uint8:
-            k = k * 2 // 3
+        if self.ingest_dtype in PACKED_FORMATS and c_re.dtype == np.uint8:
+            gb, gs = PACKED_FORMATS[self.ingest_dtype]
+            k = k * gs // gb
         wr, wi, hdr = self._step_fn(k)(
             self._dev_win[0], self._dev_win[1],
             jnp.asarray(c_re), jnp.asarray(c_im))
@@ -1058,9 +1174,21 @@ class ReceiverChain:
                                or self._ready(self._hdr_q[0][3])):
             gpos, step_k, win, hdr = self._hdr_q.popleft()
             cap = self._capacity(step_k)
+            n_hdr = cap if self.params.header_slots is None \
+                else min(self.params.header_slots, cap)
             t0 = time.perf_counter()
-            hs = np.asarray(hdr)[: self.channels * 6 * cap]
-            hs = hs.reshape(self.channels, 6, cap)
+            hs = np.asarray(hdr)[: self.channels * 6 * n_hdr]
+            hs = hs.reshape(self.channels, 6, n_hdr)
+            if n_hdr < cap and int(hs[:, 5, 1].max()) > n_hdr:
+                # more detection events than the header budget: re-run
+                # the full-capacity pass on the (still-live) window
+                self.stats.header_overflows += 1
+                full = _build_headers_full_fn(
+                    step_k, cap, self.params, self.channels,
+                    self.cfo_correct, self.window, self.halo)(
+                    win[0], win[1])
+                hs = np.asarray(full)[: self.channels * 6 * cap]
+                hs = hs.reshape(self.channels, 6, cap)
             self.stats.time_headers_s += time.perf_counter() - t0
             jobs: list = []
             sel_chs, sel_starts, sel_fields = [], [], []

@@ -1121,3 +1121,64 @@ def test_udp_source_zero_fills_datagram_gaps():
     assert [(p.start, p.payload) for p in pkts] == [(pos, payload.tobytes())]
     sink.close()
     src.close()
+
+
+def test_chain_header_slots_budget_and_overflow_fallback():
+    """ChainParams.header_slots caps the per-superstep SIGNAL-decode
+    budget; a superstep with more detections transparently re-runs the
+    full-capacity header pass (stats.header_overflows) - every frame
+    still delivered exactly once (VERDICT r4 #9)."""
+    rng = np.random.default_rng(43)
+    payload = rng.integers(0, 256, 20, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_3_4_QAM16))  # 880 samples
+    n = 16384
+    stream = np.zeros(n, np.complex64)
+    starts = [200 + i * 900 for i in range(8)]   # 8 frames, one superstep
+    for p in starts:
+        stream[p:p + frame.size] = frame
+    params = ChainParams(chunk_size=4096, strides_per_step=4,
+                         header_slots=3)         # budget << 8 detections
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=24,
+                          params=params)
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert sorted(p.start for p in pkts) == starts
+    assert all(p.payload == payload.tobytes() for p in pkts)
+    assert chain.stats.header_overflows >= 1
+
+    # under budget: no fallback, same delivery
+    params2 = ChainParams(chunk_size=4096, strides_per_step=4,
+                          header_slots=32)
+    chain2 = ReceiverChain(rates=(Rate.RATE_3_4_QAM16,), max_length=24,
+                           params=params2)
+    pkts2 = chain2.process_samples(stream) + chain2.flush()
+    assert sorted(p.start for p in pkts2) == starts
+    assert chain2.stats.header_overflows == 0
+
+
+def test_chain_int10_ingest_qam64():
+    """int10 (4 samples / 5 bytes, our own wire format) is transparent
+    through 64-QAM: ~34 dB quantization SNR vs the ~27 dB the rate
+    needs. Exercises the packed fast path and the device unpack."""
+    rng = np.random.default_rng(47)
+    payload = rng.integers(0, 256, 120, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_3_4_QAM64))
+    params = ChainParams(chunk_size=1024, strides_per_step=4)
+    chain = ReceiverChain(rates=(Rate.RATE_3_4_QAM64,), max_length=120,
+                          params=params, ingest_dtype="int10")
+    n = 12288
+    stream = np.zeros(n, np.complex64)
+    starts = [300, 6000]
+    for p in starts:
+        stream[p:p + frame.size] = frame
+    from fun_ofdm_tpu.runtime.chain import pack10
+    pre = pack10(stream.real.astype(np.float32))
+    pim = pack10(stream.imag.astype(np.float32))
+    pb = chain.step * 5 // 4
+    pkts = []
+    for i in range(0, pre.size, pb):
+        pkts += chain.process_samples((pre[i:i + pb], pim[i:i + pb]))
+    pkts += chain.flush()
+    assert sorted(p.start for p in pkts) == starts
+    assert all(p.payload == payload.tobytes() for p in pkts)
