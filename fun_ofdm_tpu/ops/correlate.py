@@ -29,14 +29,17 @@ from .cplx import CArr
 def _mm_precision():
     """Matmul precision for the correlator banks.
 
-    HIGHEST (6-pass bf16 f32 emulation) is the reference-parity default;
-    FUN_OFDM_CORR_PRECISION=high selects the 3-pass variant (~1e-6
-    relative error on these O(1) normalized metrics - far below any
-    threshold margin) at half the MXU cost. A/B escape hatch, same
-    pattern as FUN_OFDM_VITERBI.
+    HIGH (3-pass bf16) is the default: ~1e-6 relative error on these
+    O(1) normalized metrics - f32-grade, far below any threshold margin
+    (the 0.9 detection thresholds see noise-driven variations orders of
+    magnitude larger) - at half HIGHEST's MXU cost (measured +4% on the
+    dense capture megagraph). FUN_OFDM_CORR_PRECISION overrides:
+    "highest" = full 6-pass f32 emulation, "default" = single-pass bf16
+    (~0.4% error - fast but can flip genuinely marginal detections, so
+    never the default).
     """
     import os
-    name = os.environ.get("FUN_OFDM_CORR_PRECISION", "highest").upper()
+    name = os.environ.get("FUN_OFDM_CORR_PRECISION", "high").upper()
     return getattr(jax.lax.Precision, name)
 
 

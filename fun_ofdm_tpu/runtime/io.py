@@ -245,31 +245,35 @@ class LoopbackRadio:
 #: stream sample index of the first sample
 _UDP_HDR = struct.Struct("<4sBBHQ")
 _UDP_MAGIC = b"FOFD"
-_UDP_FMT = {"int16": 0, "int12": 1, "int8": 2}
+_UDP_FMT = {"int16": 0, "int12": 1, "int8": 2, "int10": 3}
 _UDP_FMT_INV = {v: k for k, v in _UDP_FMT.items()}
 #: bytes per sample per planar component on the wire
-_WIRE_BYTES = {"int16": 2, "int12": 1.5, "int8": 1}
+_WIRE_BYTES = {"int16": 2, "int12": 1.5, "int10": 1.25, "int8": 1}
+#: samples-per-packet alignment per format (pack-group size)
+_WIRE_ALIGN = {"int16": 2, "int12": 2, "int10": 4, "int8": 2}
 
 
 def _quantize_wire(re: np.ndarray, im: np.ndarray, fmt: str):
-    from .chain import INGEST_FORMATS, pack12
+    from .chain import INGEST_FORMATS, PACKED_FORMATS, _pack_np
 
     np_dtype, scale = INGEST_FORMATS[fmt]
-    if fmt == "int12":
-        return pack12(re, scale), pack12(im, scale)
+    if fmt in PACKED_FORMATS:
+        return (_pack_np(re, fmt, scale), _pack_np(im, fmt, scale))
     lim = float(np.iinfo(np_dtype).max)
     return (np.clip(np.rint(re * scale), -lim, lim).astype(np_dtype),
             np.clip(np.rint(im * scale), -lim, lim).astype(np_dtype))
 
 
 def _dequantize_bytes(buf: bytes, n: int, fmt: str):
-    from .chain import INGEST_FORMATS, unpack12_np
+    from .chain import INGEST_FORMATS, PACKED_FORMATS, _unpack_np
 
     np_dtype, scale = INGEST_FORMATS[fmt]
-    if fmt == "int12":
-        comp = n * 3 // 2
-        re = unpack12_np(np.frombuffer(buf[:comp], np.uint8))
-        im = unpack12_np(np.frombuffer(buf[comp:2 * comp], np.uint8))
+    if fmt in PACKED_FORMATS:
+        gb, gs = PACKED_FORMATS[fmt]
+        comp = n * gb // gs
+        re = _unpack_np(np.frombuffer(buf[:comp], np.uint8), fmt, scale)
+        im = _unpack_np(np.frombuffer(buf[comp:2 * comp], np.uint8),
+                        fmt, scale)
         return re, im
     comp = n * np.dtype(np_dtype).itemsize
     re = np.frombuffer(buf[:comp], np_dtype).astype(np.float32)
@@ -298,12 +302,14 @@ class UdpSink:
             raise ValueError(f"wire must be one of {sorted(_UDP_FMT)}")
         self.params = params
         self.wire = wire
+        align = _WIRE_ALIGN[wire]
         if samples_per_packet is None:
             samples_per_packet = int((1472 - _UDP_HDR.size)
                                      // (2 * _WIRE_BYTES[wire]))
-            samples_per_packet -= samples_per_packet % 2
-        if samples_per_packet % 2:
-            raise ValueError("samples_per_packet must be even")
+            samples_per_packet -= samples_per_packet % align
+        if samples_per_packet % align:
+            raise ValueError(
+                f"samples_per_packet must be a multiple of {align}")
         self.spp = samples_per_packet
         self._addr = (addr[0], int(addr[1]))
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -333,10 +339,11 @@ class UdpSink:
     send_burst_sync = send_burst
 
     def flush(self) -> None:
-        """Send any buffered sub-packet residue (padded even)."""
+        """Send any buffered sub-packet residue (padded to alignment)."""
         with self._lock:
             if self._res_re.size:
-                pad = self._res_re.size % 2
+                align = _WIRE_ALIGN[self.wire]
+                pad = (-self._res_re.size) % align
                 re = np.concatenate(
                     [self._res_re, np.zeros(pad, np.float32)])
                 im = np.concatenate(

@@ -1052,7 +1052,7 @@ def test_chain_adaptive_dense_stream_exactly_once():
     assert all(p.payload == payload.tobytes() for p in pkts)
 
 
-@pytest.mark.parametrize("wire", ["int16", "int12", "int8"])
+@pytest.mark.parametrize("wire", ["int16", "int12", "int10", "int8"])
 def test_udp_sink_source_roundtrip(wire):
     """UdpSink -> UdpSource over localhost delivers a decodable stream in
     every wire format (VERDICT r4 #5: the networked sample transport the
