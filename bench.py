@@ -219,11 +219,13 @@ def bench_h2d_roofline(jax, jnp, n_samples=2 << 20, reps=8, passes=3):
 
 def bench_latency(jax, jnp, tx, rate, length, strides, reps=3,
                   latency_target_ms=None):
-    """K=1 / auto-K delivery latency (tools/latency_probe.py measurement,
-    now recorded in the bench artifact - VERDICT r3 item 8): wall ms from
-    the push completing a frame's owning superstep to its DecodedPacket.
-    latency_target_ms engages the adaptive-superstep ladder (the auto
-    row's production configuration, VERDICT r4 #4)."""
+    """Sparse-stream delivery latency: wall ms from the frame's LAST
+    sample entering process_samples - followed only by idle (zero)
+    samples, a radio receiving one lone frame - to its DecodedPacket.
+    The K=1 row is the reference's per-4096-chunk cadence; the auto row
+    is the production superstep configuration with the adaptive ladder
+    (latency_target_ms, VERDICT r4 #4) - without it a sparse stream
+    would wait out a full 2^20-sample superstep."""
     from fun_ofdm_tpu.config import ChainParams
     from fun_ofdm_tpu.runtime.chain import ReceiverChain
 
@@ -237,20 +239,19 @@ def bench_latency(jax, jnp, tx, rate, length, strides, reps=3,
     for rep in range(reps + 1):  # first rep warms the compile cache
         chain = ReceiverChain(rates=(rate,), max_length=length,
                               params=params)
-        halo = chain.window - chain.step
-        pos = 2 * chain.step - halo - 128
-        n = 2 * chain.step
+        pos = 3000
+        n = pos + fre.size + 256
         s_re = np.zeros(n, np.float32)
         s_im = np.zeros(n, np.float32)
         s_re[pos:pos + fre.size] = fre
         s_im[pos:pos + fim.size] = fim
-        pkts = chain.process_samples((s_re[:n - 4096], s_im[:n - 4096]))
+        pkts = chain.process_samples((s_re, s_im))
         t0 = time.perf_counter()
-        pkts = pkts or chain.process_samples(
-            (s_re[n - 4096:], s_im[n - 4096:]))
         zeros = (np.zeros(4096, np.float32), np.zeros(4096, np.float32))
         pushed = 0
-        while not pkts and pushed < 100 * chain.step:
+        # idle fill at the radio's chunk cadence (4096 @ 5 MS/s = 0.8 ms)
+        while not pkts and pushed < 64 << 20:
+            time.sleep(0.0008)
             pkts = chain.process_samples(zeros)
             pushed += 4096
         if not pkts:

@@ -6,6 +6,12 @@ a Transmitter and a Receiver sharing one radio bus, with the receiver
 paused while transmitting (the reference's half-duplex pattern). Sends a
 message, resumes RX, and prints what comes back — optionally through an
 AWGN channel.
+
+For the reference's TWO-MACHINE demo (independent test_tx / test_rx
+endpoints, README.md:299-311), run `examples/rx.py udp://0.0.0.0:PORT`
+and `examples/tx.py udp://HOST:PORT --pace` as two OS processes — the
+networked sample transport (runtime/io.UdpSink/UdpSource) replaces the
+radios.
 """
 
 from __future__ import annotations

@@ -220,7 +220,9 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
     ds_lo, ds_hi = off, window - halo + DETECT_LEAD
     _, scale = INGEST_FORMATS[ingest_dtype]
 
-    n_hdr = max_frames if hdr_slots is None else min(hdr_slots, max_frames)
+    # >= 2: the trailer row stores [dropped, n_detected] at indices 0, 1
+    n_hdr = max_frames if hdr_slots is None \
+        else max(2, min(hdr_slots, max_frames))
 
     def headers(wr, wi):
         h = frontend.decode_headers_p(
@@ -1175,7 +1177,7 @@ class ReceiverChain:
             gpos, step_k, win, hdr = self._hdr_q.popleft()
             cap = self._capacity(step_k)
             n_hdr = cap if self.params.header_slots is None \
-                else min(self.params.header_slots, cap)
+                else max(2, min(self.params.header_slots, cap))
             t0 = time.perf_counter()
             hs = np.asarray(hdr)[: self.channels * 6 * n_hdr]
             hs = hs.reshape(self.channels, 6, n_hdr)

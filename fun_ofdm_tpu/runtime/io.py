@@ -408,8 +408,10 @@ class UdpSource:
             if seq > self._next_seq:
                 gap = int(seq - self._next_seq)
                 self.stats.lost_samples += gap
-                z = np.zeros(min(gap, 1 << 20), np.float32)
-                self._ring.push((z, z), blocking=True)
+                while gap > 0:       # fill the WHOLE gap (alignment)
+                    z = np.zeros(min(gap, 1 << 20), np.float32)
+                    self._ring.push((z, z), blocking=True)
+                    gap -= z.size
             re, im = _dequantize_bytes(pkt[_UDP_HDR.size:], n,
                                        _UDP_FMT_INV[fmt])
             self._ring.push((re, im), blocking=True)

@@ -1182,3 +1182,33 @@ def test_chain_int10_ingest_qam64():
     pkts += chain.flush()
     assert sorted(p.start for p in pkts) == starts
     assert all(p.payload == payload.tobytes() for p in pkts)
+
+
+def test_chain_adaptive_int16_ingest_and_nonterminal_flush():
+    """Adaptive mode accepts integer wire-format buffers (dequantized
+    into the pending float buffer) and composes with
+    flush(terminal=False)."""
+    rng = np.random.default_rng(53)
+    payload = rng.integers(0, 256, 32, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=8,
+                         latency_target_ms=20.0)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=32,
+                          params=params, ingest_dtype="int16")
+    for stream_round in range(2):
+        stream = np.zeros(5000, np.complex64)
+        stream[900:900 + frame.size] = frame
+        sc_re = np.clip(np.rint(stream.real * 8192), -32767, 32767
+                        ).astype(np.int16)
+        sc_im = np.clip(np.rint(stream.imag * 8192), -32767, 32767
+                        ).astype(np.int16)
+        pkts = chain.process_samples((sc_re, sc_im))
+        deadline = time.time() + 20
+        idle = (np.zeros(512, np.int16), np.zeros(512, np.int16))
+        while not pkts and time.time() < deadline:
+            time.sleep(0.015)
+            pkts += chain.process_samples(idle)
+        pkts += chain.flush(terminal=False)
+        assert [(p.start, p.payload) for p in pkts] == \
+            [(900, payload.tobytes())], stream_round
