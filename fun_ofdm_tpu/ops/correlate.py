@@ -122,33 +122,58 @@ def sts_end_events(ratio: jnp.ndarray, threshold: float,
     Matches the reference's stateful counter (frame_detector.cpp:65-82):
     an end fires at the first below-threshold sample following a run of at
     least `plateau_len` above-threshold samples.
+
+    run_length[n-1] >= L is exactly "the L samples before n are all
+    above", i.e. an L-trailing-window count equal to L - so the test
+    rides the same polyphase MXU window-sum as the autocorrelator
+    instead of a log-depth cummax scan over the whole stream (the scan
+    was one of the capture megagraph's biggest non-kernel blocks,
+    docs/NOTES_r5.md).
     """
     above = ratio > threshold
-    runlen = plateau_run_lengths(above)
-    prev_run = jnp.concatenate(
-        [jnp.zeros(above.shape[:-1] + (1,), jnp.int32), runlen[..., :-1]],
-        axis=-1)
-    return (~above) & (prev_run >= plateau_len)
+    cnt = _trailing_window_sum(above.astype(jnp.float32), plateau_len)
+    prev_full = jnp.concatenate(
+        [jnp.zeros(above.shape[:-1] + (1,), above.dtype),
+         cnt[..., :-1] >= plateau_len - 0.5], axis=-1)
+    return (~above) & prev_full
+
+
+def _leading_window_sum(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """y[n] = sum_{k=n..n+w-1} x[k], zeros past the end. Shape-preserving.
+
+    Mirror of _trailing_window_sum: with n = w*q + r the window splits
+    between row q (columns >= r) and row q+1 (columns < r) - two
+    polyphase matmuls against complementary triangles on the MXU.
+    """
+    q = -(-x.shape[-1] // w)
+    padlen = (q + 1) * w - x.shape[-1]
+    pad = jnp.zeros(x.shape[:-1] + (padlen,), x.dtype)
+    rows = jnp.concatenate([x, pad], axis=-1).reshape(
+        *x.shape[:-1], q + 1, w)
+    c = np.arange(w)[:, None]
+    r = np.arange(w)[None, :]
+    tri_a = jnp.asarray((c >= r).astype(np.float32))   # row q
+    tri_b = jnp.asarray((c < r).astype(np.float32))    # row q+1
+
+    def mm(rr, m):
+        return jax.lax.dot_general(
+            rr, m, (((rr.ndim - 1,), (0,)), ((), ())),
+            precision=_mm_precision(),
+            preferred_element_type=jnp.float32)
+
+    y = mm(rows[..., :q, :], tri_a) + mm(rows[..., 1:, :], tri_b)
+    return y.reshape(*x.shape[:-1], q * w)[..., : x.shape[-1]]
 
 
 def leading_window_any(mask: jnp.ndarray, w: int) -> jnp.ndarray:
     """out[n] = any(mask[n : n+w]) (False past the end). Shape-preserving.
 
-    Integer cumsum difference: any(mask[n:n+w]) == S[n+w-1] - S[n-1] > 0
-    with S the inclusive count prefix — exact (integer arithmetic, no
-    float drift) and one log-depth scan instead of w shifted ORs (the
-    round-2 unrolled form was fine at w=32 but the detection-window fix
-    doubled w; docs/NOTES_r3.md).
+    Polyphase MXU window count (exact: small integer counts in f32)
+    instead of the round-3 cumsum form - the log-depth scan over the
+    whole stream was one of the capture megagraph's biggest non-kernel
+    blocks (docs/NOTES_r5.md).
     """
-    m = mask.astype(jnp.int32)
-    s = jnp.cumsum(m, axis=-1)
-    left = jnp.concatenate(
-        [jnp.zeros(mask.shape[:-1] + (1,), jnp.int32), s[..., :-1]],
-        axis=-1)                                  # S[n-1]
-    total = jnp.broadcast_to(s[..., -1:], s.shape)
-    right = jnp.concatenate(
-        [s[..., w - 1:], total[..., : w - 1]], axis=-1)  # S[n+w-1], clamped
-    return (right - left) > 0
+    return _leading_window_sum(mask.astype(jnp.float32), w) > 0.5
 
 
 @functools.lru_cache(maxsize=None)
