@@ -196,6 +196,60 @@ def run_stream(stream_planar, expected, chunk_feed=4096, prequant=False,
     return best
 
 
+def bench_multichannel(jax, jnp, tx, rate, length, channels=4,
+                       passes=2):
+    """Aggregate multi-channel streaming throughput: ONE chain serving
+    `channels` synchronized dense streams (multi-antenna site / C
+    co-located radios), int10 wire, one fused detection+header dispatch
+    and one payload-decode dispatch per length class per superstep
+    covering ALL channels (VERDICT r4 #2). Returns aggregate samples/s
+    with every planted frame delivered."""
+    import time as _time
+
+    from fun_ofdm_tpu.config import ChainParams
+    from fun_ofdm_tpu.rates import params_for
+    from fun_ofdm_tpu.runtime.chain import ReceiverChain, pack10
+
+    rng = np.random.default_rng(7)
+    payloads = rng.integers(0, 256, size=(channels, length), dtype=np.uint8)
+    fre, fim = tx.build_frame_p(jnp.asarray(payloads), rate)
+    fre, fim = np.asarray(fre), np.asarray(fim)
+    frames_per_channel = 8
+    unit_re = np.concatenate(
+        [np.tile(fre[:, None, :], (1, frames_per_channel, 1)).reshape(
+            channels, -1), np.zeros((channels, 2048), np.float32)], axis=1)
+    unit_im = np.concatenate(
+        [np.tile(fim[:, None, :], (1, frames_per_channel, 1)).reshape(
+            channels, -1), np.zeros((channels, 2048), np.float32)], axis=1)
+    tiles = max(1, (4 << 20) // unit_re.shape[-1])
+    s_re = np.tile(unit_re, (1, tiles)).astype(np.float32)
+    s_im = np.tile(unit_im, (1, tiles)).astype(np.float32)
+
+    params = ChainParams(strides_per_step=256, min_frame_samples=4000)
+    probe = ReceiverChain(rates=(rate,), max_length=length, params=params,
+                          channels=channels, ingest_dtype="int10")
+    n_whole = s_re.shape[-1] // probe.step * probe.step
+    pc_re = pack10(s_re[:, :n_whole])
+    pc_im = pack10(s_im[:, :n_whole])
+    pb = probe.step * 5 // 4
+    expected = (n_whole // unit_re.shape[-1]) * frames_per_channel         * channels
+    best = 0.0
+    for _ in range(passes + 1):   # first pass warms compiles
+        chain = ReceiverChain(rates=(rate,), max_length=length,
+                              params=params, channels=channels,
+                              ingest_dtype="int10")
+        t0 = _time.perf_counter()
+        got = 0
+        for i in range(0, pc_re.shape[-1], pb):
+            got += len(chain.process_samples(
+                (pc_re[:, i:i + pb], pc_im[:, i:i + pb])))
+        got += len(chain.flush())
+        dt = _time.perf_counter() - t0
+        assert got >= expected, f"multichannel decoded {got}/{expected}"
+        best = max(best, channels * n_whole / dt)
+    return best
+
+
 def bench_h2d_roofline(jax, jnp, n_samples=2 << 20, reps=8, passes=3):
     """Sustained H2D wire bandwidth (MB/s) for planar int16 superstep
     buffers - the streaming chain's ingest ceiling (VERDICT r3 item 2:
@@ -333,13 +387,12 @@ def main() -> None:
 
     # reference-parity FEED: float32 samples, 4096-sample chunks
     # (NUM_RX_SAMPLES=4096, receiver.h:16); superstep auto (~1M samples).
-    # The chain ships sc12 over the wire (host-side 12-bit quantization,
-    # ~55 dB SNR - beyond the N210 ADC's own 14-bit fidelity after its
-    # analog front end) - an f32 transport would bottleneck on the
-    # tunnel's wire bandwidth at 8 B/sample for no fidelity gain
-    # (docs/NOTES_r4.md).
+    # The chain ships int10 over the wire (host-side 10-bit
+    # quantization, ~34 dB SNR - transparent at every rate) - an f32
+    # transport would bottleneck on the tunnel's wire bandwidth at
+    # 8 B/sample for no fidelity gain (docs/NOTES_r4.md, NOTES_r5.md).
     parity_kwargs = dict(rates=(rate,), max_length=length,
-                         params=ChainParams(), ingest_dtype="int12")
+                         params=ChainParams(), ingest_dtype="int10")
     run_stream(warm, None, **parity_kwargs)
     streaming_sps = run_stream((s_re, s_im), n_frames, passes=3,
                                **parity_kwargs)
@@ -389,6 +442,9 @@ def main() -> None:
     cfo_sps = bench_streaming_cfo(
         (s_re[:n_cfo], s_im[:n_cfo]), n_cfo // unit * unit_frames,
         cfo_norm=2e-4, passes=2, **cfo_kwargs)
+
+    # --- multi-channel aggregate (C=4, one chain, one dispatch/stage) -----
+    mc4_sps = bench_multichannel(jax, jnp, tx, rate, length, channels=4)
 
     # --- delivery latency (K=1 reference-cadence and auto superstep) ------
     lat_k1_ms = bench_latency(jax, jnp, tx, rate, length, strides=1)
@@ -444,6 +500,8 @@ def main() -> None:
             allrates_sps / REFERENCE_SAMPLES_PER_SEC,
         "streaming_cfo_samples_per_sec": cfo_sps,
         "streaming_cfo_vs_baseline": cfo_sps / REFERENCE_SAMPLES_PER_SEC,
+        "multichannel_c4_samples_per_sec": mc4_sps,
+        "multichannel_c4_vs_baseline": mc4_sps / REFERENCE_SAMPLES_PER_SEC,
         "latency_k1_ms": lat_k1_ms,
         "latency_auto_ms": lat_auto_ms,
         "h2d_roofline_mbps": h2d_mbps,
