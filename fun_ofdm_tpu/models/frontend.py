@@ -48,7 +48,14 @@ def _first_k_true(mask: jnp.ndarray, k: int,
     over (measured 4.8 ms at n=1M, k=2200 on v5e vs OOM for the one-hot).
     """
     n = mask.shape[-1]
-    if k * n > _BLOCKED_MIN_ELEMS:
+    if n > _BLOCKED_MIN_N:
+        # the blocked two-level extractor is the default: the one-hot
+        # form needs a full-stream prefix-sum scan (one of the capture
+        # megagraph's biggest non-kernel blocks, docs/NOTES_r5.md) and
+        # a (k, n) one-hot product; events denser than the per-block cap
+        # are dropped AND counted (the documented capacity - only noise
+        # produces >16 LTS-reachable events per 512 samples). Tiny
+        # streams keep the exact one-hot (cheap, no capacity caveat).
         blocked = _first_k_true_blocked(mask, k, drop_count_limit)
         if blocked is not None:
             return blocked
@@ -71,8 +78,9 @@ def _first_k_true(mask: jnp.ndarray, k: int,
 #: (ChainStats.detect_dropped).
 _BLOCK = 512
 _BLOCK_CAP = 16
-#: k*n above which the blocked extractor takes over from the exact one-hot
-_BLOCKED_MIN_ELEMS = 1 << 24
+#: stream length above which the blocked extractor takes over from the
+#: exact one-hot (kept tiny-stream-exact for unit-scale inputs)
+_BLOCKED_MIN_N = 1 << 13
 
 
 def _first_k_true_blocked(mask: jnp.ndarray, k: int,

@@ -49,12 +49,43 @@ def extract_symbols_p(samples: CArr, start, num_symbols: int):
     truncated frame reads edge garbage and fails CRC, same as the
     reference fed a truncated stream).
     """
+    import os
+
     start = jnp.asarray(start, jnp.int32)
     nsym_total = 1 + num_symbols
     # the last symbol body ends 16 samples before a full 80-stride, so
     # slice exactly through it (slicing nsym_total*80 would run 8 samples
     # past the frame end and dynamic_slice would clamp, shifting everything)
     body_len = (nsym_total - 1) * 80 + 64
+
+    if os.environ.get("FUN_OFDM_EXTRACT", "slice") == "gather":
+        # A/B-only alternative, measured 3.5x SLOWER end-to-end (50 vs
+        # 178 Msample/s on the capture megagraph, docs/NOTES_r5.md):
+        # the batched row-gather materializes catastrophically on TPU
+        # even though the slice form's vmapped dynamic_slice lowers to
+        # a sequential while of small DMAs (~3.5 ms at 512 frames).
+        # Kept (env FUN_OFDM_EXTRACT=gather) as the documented negative
+        # result - the while-of-DMAs IS the fast formulation here,
+        # confirming r4's finding at the production shape.
+        lts_idx = (np.array([pre.LTS1_OFFSET, pre.LTS2_OFFSET])[:, None]
+                   + np.arange(64)[None, :])
+        sym_idx = (pre.SYMBOL0_OFFSET + 80 * np.arange(nsym_total)[:, None]
+                   + np.arange(64)[None, :])
+        n = samples[0].shape[-1]
+        hi = n - 1
+
+        def gather_one(x, p):
+            pc = jnp.clip(p, 0, max(n - body_len - pre.SYMBOL0_OFFSET, 0))
+            li = jnp.minimum(pc + jnp.asarray(lts_idx), hi)
+            si = jnp.minimum(pc + jnp.asarray(sym_idx), hi)
+            return x[li], x[si]
+
+        fn = gather_one
+        for _ in samples[0].shape[:-1]:
+            fn = jax.vmap(fn)
+        lts_re, syms_re = fn(samples[0], start)
+        lts_im, syms_im = fn(samples[1], start)
+        return (lts_re, lts_im), (syms_re, syms_im)
 
     def slice_one(x, p):
         lts1 = jax.lax.dynamic_slice(x, (p + pre.LTS1_OFFSET,), (64,))

@@ -51,7 +51,11 @@ def puncture(coded: jnp.ndarray, rate: Rate) -> jnp.ndarray:
 
 
 def depuncture(soft: jnp.ndarray, rate: Rate) -> jnp.ndarray:
-    """(..., m) soft bits -> (..., n) with ERASURE=127 in the holes."""
+    """(..., m) soft bits -> (..., n) with ERASURE=127 in the holes.
+
+    Built as a static per-column stack (the `.at[..., keep].set` form
+    lowers to a sequential while-scatter on TPU; a stack of static
+    columns is a pure layout op)."""
     pat = _pattern(rate)
     if pat is None:
         return soft
@@ -59,6 +63,12 @@ def depuncture(soft: jnp.ndarray, rate: Rate) -> jnp.ndarray:
     kept = len(keep)
     m = soft.shape[-1]
     groups = soft[..., : m - m % kept].reshape(*soft.shape[:-1], -1, kept)
-    out = jnp.full(groups.shape[:-1] + (group,), ERASURE, dtype=soft.dtype)
-    out = out.at[..., keep].set(groups)
+    erase = jnp.full(groups.shape[:-1], ERASURE, dtype=soft.dtype)
+    cols = []
+    for j in range(group):
+        if j in keep:
+            cols.append(groups[..., list(keep).index(j)])
+        else:
+            cols.append(erase)
+    out = jnp.stack(cols, axis=-1)
     return out.reshape(*soft.shape[:-1], -1)

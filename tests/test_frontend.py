@@ -131,7 +131,7 @@ def test_detect_dropped_reaches_chain_stats(monkeypatch):
     from fun_ofdm_tpu.runtime.chain import ReceiverChain
     from fun_ofdm_tpu.rates import Rate
 
-    monkeypatch.setattr(fe, "_BLOCKED_MIN_ELEMS", 0)
+    monkeypatch.setattr(fe, "_BLOCKED_MIN_N", 0)
     monkeypatch.setattr(fe, "_BLOCK", 4096)
     monkeypatch.setattr(fe, "_BLOCK_CAP", 1)
 
