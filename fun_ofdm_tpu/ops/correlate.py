@@ -106,15 +106,6 @@ def sts_ratio(x: CArr, lag: int = 16) -> jnp.ndarray:
     return jnp.where(power > 0, mag / jnp.where(power > 0, power, 1), 0.0)
 
 
-def plateau_run_lengths(above: jnp.ndarray) -> jnp.ndarray:
-    """runlen[n] = number of consecutive True values ending at n."""
-    n = above.shape[-1]
-    idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), above.shape)
-    last_below = jax.lax.cummax(
-        jnp.where(above, jnp.int32(-1), idx), axis=above.ndim - 1)
-    return idx - last_below
-
-
 def sts_end_events(ratio: jnp.ndarray, threshold: float,
                    plateau_len: int) -> jnp.ndarray:
     """Boolean mask of STS_END positions.

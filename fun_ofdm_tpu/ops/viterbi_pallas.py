@@ -96,6 +96,29 @@ def _branch_cols_r4(dtype: str = "int32") -> np.ndarray:
     ]).reshape(128, 1).astype(dtype)
 
 
+def _metric_ops(dt):
+    """(branch_metric, sat_add) for one metric carrier dtype (u8-semantics
+    arithmetic, shared by the radix-2 and radix-4 kernels - ONE
+    definition so the bit-exactness contract cannot silently diverge)."""
+    if dt == jnp.uint8:
+        def branch_metric(a, b):
+            # (a + b + 1) >> 3 without leaving u8: rounded average
+            # (_mm_avg_epu8) then >> 2 (reference viterbi.cpp:242-251)
+            avg = (a >> 1) + (b >> 1) + ((a | b) & 1)
+            return avg >> 2
+
+        def sat_add(m, t):
+            s = m + t                        # wraps mod 256
+            return jnp.where(s < m, jnp.full((), 255, dt), s)
+    else:
+        def branch_metric(a, b):
+            return (a + b + 1) >> 3
+
+        def sat_add(m, t):
+            return jnp.minimum(m + t, 255).astype(dt)
+    return branch_metric, sat_add
+
+
 def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
                 metrics_ref):
     """Forward ACS over one (batch_tile, time_chunk) block.
@@ -134,22 +157,7 @@ def _acs_kernel(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,
     steps = steps_ref[0, :][None, :]         # (1, B)
     base = t_chunk * TIME_CHUNK
 
-    if dt == jnp.uint8:
-        def branch_metric(a, b):
-            # (a + b + 1) >> 3 without leaving u8: rounded average
-            # (_mm_avg_epu8) then >> 2 (reference viterbi.cpp:242-251)
-            avg = (a >> 1) + (b >> 1) + ((a | b) & 1)
-            return avg >> 2
-
-        def sat_add(m, t):
-            s = m + t                        # wraps mod 256
-            return jnp.where(s < m, jnp.full((), 255, dt), s)
-    else:
-        def branch_metric(a, b):
-            return (a + b + 1) >> 3
-
-        def sat_add(m, t):
-            return jnp.minimum(m + t, 255).astype(dt)
+    branch_metric, sat_add = _metric_ops(dt)
 
     def step(m, s0, s1, i):
         """One ACS trellis step on register-resident metrics m (64, B)."""
@@ -248,28 +256,6 @@ def _chainback_kernel(dec_ref, out_ref, state_ref):
 
     state_ref[:] = jax.lax.fori_loop(0, TIME_CHUNK // _SUB, body,
                                      state_ref[:])
-
-
-def _metric_ops(dt):
-    """(branch_metric, sat_add) for one metric carrier dtype (u8-semantics
-    arithmetic; see _acs_kernel)."""
-    if dt == jnp.uint8:
-        def branch_metric(a, b):
-            # (a + b + 1) >> 3 without leaving u8: rounded average
-            # (_mm_avg_epu8) then >> 2 (reference viterbi.cpp:242-251)
-            avg = (a >> 1) + (b >> 1) + ((a | b) & 1)
-            return avg >> 2
-
-        def sat_add(m, t):
-            s = m + t                        # wraps mod 256
-            return jnp.where(s < m, jnp.full((), 255, dt), s)
-    else:
-        def branch_metric(a, b):
-            return (a + b + 1) >> 3
-
-        def sat_add(m, t):
-            return jnp.minimum(m + t, 255).astype(dt)
-    return branch_metric, sat_add
 
 
 def _acs_kernel_r4(steps_ref, init_ref, bt_ref, s0_ref, s1_ref, dec_ref,

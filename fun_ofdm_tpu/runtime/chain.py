@@ -183,6 +183,30 @@ def _dequantize_wire(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.float32) * np.float32(1.0 / scale)
 
 
+def _headers_block(jnp, frontend, wr, wi, ds_lo, ds_hi, max_frames,
+                   n_hdr, params, step, cfo_correct):
+    """Detection + SIGNAL headers over the window's detect slice, packed
+    as the (6, n_hdr) int32 block _drain parses: rows [starts, valid,
+    rate_field, hdr_length, header_ok, trailer] with trailer[0] = the
+    blocked extractor's dropped-event count and trailer[1] = the total
+    detection count (ONE layout, shared by the step fn and the
+    header_slots overflow fallback)."""
+    h = frontend.decode_headers_p(
+        (wr[..., ds_lo:ds_hi], wi[..., ds_lo:ds_hi]),
+        max_frames=max_frames, params=params, drop_count_limit=step,
+        cfo_correct=cfo_correct,
+        hdr_slots=None if n_hdr == max_frames else n_hdr)
+    trailer = jnp.zeros((n_hdr,), jnp.int32).at[0].set(
+        h["detect_dropped"]).at[1].set(h["n_detected"])
+    return jnp.concatenate([jnp.stack([
+        h["starts"].astype(jnp.int32),
+        h["valid"].astype(jnp.int32),
+        h["rate_field"].astype(jnp.int32),
+        h["hdr_length"].astype(jnp.int32),
+        h["header_ok"].astype(jnp.int32),
+    ]), trailer[None, :]])
+
+
 @functools.lru_cache(maxsize=None)
 def _build_step_fn(step: int, max_frames: int, params: ChainParams,
                    ingest_dtype: str, channels: int = 1,
@@ -225,20 +249,9 @@ def _build_step_fn(step: int, max_frames: int, params: ChainParams,
         else max(2, min(hdr_slots, max_frames))
 
     def headers(wr, wi):
-        h = frontend.decode_headers_p(
-            (wr[..., ds_lo:ds_hi], wi[..., ds_lo:ds_hi]),
-            max_frames=max_frames,
-            params=params, drop_count_limit=step,
-            cfo_correct=cfo_correct, hdr_slots=n_hdr)
-        drop_row = jnp.zeros((n_hdr,), jnp.int32).at[0].set(
-            h["detect_dropped"]).at[1].set(h["n_detected"])
-        return jnp.concatenate([jnp.stack([
-            h["starts"].astype(jnp.int32),
-            h["valid"].astype(jnp.int32),
-            h["rate_field"].astype(jnp.int32),
-            h["hdr_length"].astype(jnp.int32),
-            h["header_ok"].astype(jnp.int32),
-        ]), drop_row[None, :]])                  # (6, n_hdr)
+        return _headers_block(jnp, frontend, wr, wi, ds_lo, ds_hi,
+                              max_frames, n_hdr, params, step,
+                              cfo_correct)
 
     def fn(wr, wi, cr, ci):
         if ingest_dtype == "int12":
@@ -296,19 +309,9 @@ def _build_headers_full_fn(step: int, max_frames: int, params: ChainParams,
     ds_lo, ds_hi = off, window - halo + DETECT_LEAD
 
     def headers(wr, wi):
-        h = frontend.decode_headers_p(
-            (wr[..., ds_lo:ds_hi], wi[..., ds_lo:ds_hi]),
-            max_frames=max_frames, params=params, drop_count_limit=step,
-            cfo_correct=cfo_correct)
-        drop_row = jnp.zeros((max_frames,), jnp.int32).at[0].set(
-            h["detect_dropped"]).at[1].set(h["n_detected"])
-        return jnp.concatenate([jnp.stack([
-            h["starts"].astype(jnp.int32),
-            h["valid"].astype(jnp.int32),
-            h["rate_field"].astype(jnp.int32),
-            h["hdr_length"].astype(jnp.int32),
-            h["header_ok"].astype(jnp.int32),
-        ]), drop_row[None, :]])
+        return _headers_block(jnp, frontend, wr, wi, ds_lo, ds_hi,
+                              max_frames, max_frames, params, step,
+                              cfo_correct)
 
     def fn(wr, wi):
         if channels > 1:
@@ -683,7 +686,8 @@ class ReceiverChain:
             rate = (self._classes[0] if self.decode_mode == "universal"
                     else self.rates[0])
             fn = self._decode_fn(rate, bucket, exact=True)
-            win_shape = (self.window,)
+            win_shape = (self.window,) if self.channels == 1 \
+                else (self.channels, self.window)
             f32 = jax.ShapeDtypeStruct(win_shape, np.float32)
             st = jax.ShapeDtypeStruct((bucket,), np.int32)
             fn.lower(f32, f32, st).compile()
@@ -788,8 +792,23 @@ class ReceiverChain:
             return self._process_multichannel(samples)
         if self.adaptive:
             if isinstance(samples, tuple):
-                re = _dequantize_wire(np.asarray(samples[0]))
-                im = _dequantize_wire(np.asarray(samples[1]))
+                re = np.asarray(samples[0])
+                im = np.asarray(samples[1])
+                if self.ingest_dtype in PACKED_FORMATS \
+                        and re.dtype == np.uint8 and im.dtype == np.uint8:
+                    # packed wire buffers (the fixed-mode fast-path
+                    # format): unpack into the pending float buffer
+                    gb, _ = PACKED_FORMATS[self.ingest_dtype]
+                    if re.size % gb:
+                        raise ValueError(
+                            f"packed {self.ingest_dtype} buffers must be "
+                            f"a multiple of {gb} bytes")
+                    _, scale = INGEST_FORMATS[self.ingest_dtype]
+                    re = _unpack_np(re, self.ingest_dtype, scale)
+                    im = _unpack_np(im, self.ingest_dtype, scale)
+                else:
+                    re = _dequantize_wire(re)
+                    im = _dequantize_wire(im)
             else:
                 arr = np.asarray(samples)
                 re = np.ascontiguousarray(arr.real, np.float32)
@@ -1209,9 +1228,12 @@ class ReceiverChain:
                     if self.verbose:
                         print(f"Detection events dropped ({dropped})",
                               file=sys.stderr)
-                if valid.all():
-                    # every detection slot filled: frames beyond capacity
-                    # were silently missed (reference has no cap)
+                if int(h[5, 1]) >= cap:
+                    # every detection slot of the FULL capacity filled:
+                    # frames beyond it were silently missed (reference
+                    # has no cap). n_detected, not the possibly
+                    # header_slots-truncated valid array - a count
+                    # exactly at the budget is not saturation.
                     self.stats.detect_saturated += 1
                     if self.verbose:
                         print("Detection saturated "

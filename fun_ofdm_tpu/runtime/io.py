@@ -84,6 +84,10 @@ class RadioStats:
     reordered: int = 0
     #: UDP: samples lost to datagram gaps (zero-filled to keep alignment)
     lost_samples: int = 0
+    #: UDP: malformed/truncated datagrams dropped
+    malformed: int = 0
+    #: UDP: stream restarts detected (sender seq reset) and re-locked
+    resyncs: int = 0
 
     def as_dict(self) -> dict:
         return dict(self.__dict__)
@@ -381,11 +385,17 @@ class UdpSource:
         self.addr = self._sock.getsockname()
         self._ring = SampleRing(capacity)
         self._next_seq: int | None = None   # lock onto the first datagram
+        self._below_streak = 0              # consecutive below-lock drops
         self._closed = False
         self.stats = RadioStats()
         self._thread = threading.Thread(
             target=self._rx_loop, name="fun_ofdm_udp_rx", daemon=True)
         self._thread.start()
+
+    #: forward gaps beyond this many samples are treated as a corrupt
+    #: sequence field / new stream rather than loss to zero-fill (at
+    #: 5 MS/s this is ~13 s of air time)
+    MAX_GAP = 1 << 26
 
     def _rx_loop(self) -> None:
         while not self._closed:
@@ -395,27 +405,60 @@ class UdpSource:
                 continue
             except OSError:
                 return
-            if len(pkt) < _UDP_HDR.size:
-                continue
-            magic, ver, fmt, n, seq = _UDP_HDR.unpack_from(pkt)
-            if magic != _UDP_MAGIC or ver != 1 or fmt not in _UDP_FMT_INV:
-                continue
-            if self._next_seq is None:
+            try:
+                self._handle_packet(pkt)
+            except Exception:
+                # a malformed datagram (truncated payload, stray traffic
+                # with a valid-looking header) must never kill the RX
+                # daemon - drop it and keep receiving
+                self.stats.malformed += 1
+
+    def _handle_packet(self, pkt: bytes) -> None:
+        if len(pkt) < _UDP_HDR.size:
+            self.stats.malformed += 1
+            return
+        magic, ver, fmt, n, seq = _UDP_HDR.unpack_from(pkt)
+        if magic != _UDP_MAGIC or ver != 1 or fmt not in _UDP_FMT_INV:
+            self.stats.malformed += 1
+            return
+        fmt_name = _UDP_FMT_INV[fmt]
+        want = int(2 * n * _WIRE_BYTES[fmt_name])
+        if n == 0 or len(pkt) - _UDP_HDR.size < want:
+            self.stats.malformed += 1
+            return
+        if self._next_seq is None:
+            self._next_seq = seq
+        if seq < self._next_seq:
+            # a RESTARTED sender begins again at a low sample index; a
+            # hard lock on the first stream would drop its traffic
+            # forever (each datagram counted 'reordered'). Genuine
+            # out-of-order delivery is a few isolated packets; a RUN of
+            # below-lock datagrams is a new stream - re-lock onto it.
+            self._below_streak += 1
+            if self._below_streak > 8:
+                self.stats.resyncs += 1
                 self._next_seq = seq
-            if seq < self._next_seq:
+                self._below_streak = 0
+            else:
                 self.stats.reordered += 1
-                continue
-            if seq > self._next_seq:
-                gap = int(seq - self._next_seq)
+                return
+        if seq > self._next_seq:
+            gap = int(seq - self._next_seq)
+            if gap > self.MAX_GAP:
+                # corrupt sequence field or a different stream epoch:
+                # zero-filling gigabytes would block the thread and
+                # desync everything after - re-lock instead
+                self.stats.resyncs += 1
+            else:
                 self.stats.lost_samples += gap
                 while gap > 0:       # fill the WHOLE gap (alignment)
                     z = np.zeros(min(gap, 1 << 20), np.float32)
                     self._ring.push((z, z), blocking=True)
                     gap -= z.size
-            re, im = _dequantize_bytes(pkt[_UDP_HDR.size:], n,
-                                       _UDP_FMT_INV[fmt])
-            self._ring.push((re, im), blocking=True)
-            self._next_seq = seq + n
+        re, im = _dequantize_bytes(pkt[_UDP_HDR.size:], n, fmt_name)
+        self._ring.push((re, im), blocking=True)
+        self._next_seq = seq + n
+        self._below_streak = 0
 
     def get_samples(self, n: int):
         re, im = self._ring.pop(n, timeout=n / self.params.sample_rate)
