@@ -476,7 +476,7 @@ def main() -> None:
     mixed_unit = mixed[0].size * len(ALL_RATES) // n_mixed
     n_whole = mixed[0].size // (512 * 4096) * (512 * 4096)
     allrates_sps = run_stream(
-        mixed, n_whole // mixed_unit * len(ALL_RATES), passes=3,
+        mixed, n_whole // mixed_unit * len(ALL_RATES), passes=5,
         **allrates_kwargs)
 
     print(json.dumps({
