@@ -263,10 +263,6 @@ def decode_headers_p(stream: CArr, max_frames: int,
               jnp.concatenate([stream[1], pad], axis=-1))
     safe = jnp.where(valid, starts, 0)
 
-    import numpy as _np
-
-    from .. import preamble as _pre
-
     def hdr_one(s):
         lts, syms = rx_model.extract_symbols_p(padded, s, 0)
         if cfo_correct:
@@ -275,10 +271,7 @@ def decode_headers_p(stream: CArr, max_frames: int,
             # header pass needs the same coarse+fine cascade as the
             # payload decode
             w = rx_model.estimate_cfo_cascade_p(padded, s, lts)
-            lts_idx = (64 * _np.arange(2)[:, None]
-                       + _np.arange(64)[None, :])
-            sym_idx = ((_pre.SYMBOL0_OFFSET - _pre.LTS1_OFFSET)
-                       + _np.arange(64)[None, :])
+            lts_idx, sym_idx = rx_model.derotation_indices(1)
             lts = rx_model._derotate_p(lts, w, lts_idx)
             syms = rx_model._derotate_p(syms, w, sym_idx)
         h_inv = rx_model.channel_estimate_p(lts)

@@ -172,6 +172,18 @@ def estimate_cfo_cascade_p(samples: CArr, start, lts_time: CArr
     return wf + k * period
 
 
+def derotation_indices(nsym_total: int):
+    """(lts_idx (2, 64), sym_idx (nsym_total, 64)) sample indices relative
+    to the LTS1 body start, for CFO derotation of the extracted symbol
+    buffers (shared by every decode path and the streaming header pass -
+    ONE definition of extract_symbols_p's layout)."""
+    lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
+    sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
+               + 80 * np.arange(nsym_total)[:, None]
+               + np.arange(64)[None, :])
+    return lts_idx, sym_idx
+
+
 def _derotate_p(x: CArr, w: jnp.ndarray, idx) -> CArr:
     """Multiply planar x by e^{-j * w * idx} (idx broadcast over x's tail)."""
     ang = w[..., None, None] * jnp.asarray(idx, x[0].dtype)
@@ -246,13 +258,10 @@ def decode_frame_p(samples: CArr, rate: Rate, length: int, start=0,
     lts, syms = extract_symbols_p(samples, start, nsym)
     if cfo_correct:
         w = estimate_cfo_cascade_p(samples, start, lts)
-        # sample indices relative to the LTS1 body start; the leftover
-        # constant phase e^{-j*w*(LTS1 abs offset)} is common to LTS and
-        # data symbols, so the zero-forcing equalizer absorbs it
-        lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
-        sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
-                   + 80 * np.arange(1 + nsym)[:, None]
-                   + np.arange(64)[None, :])
+        # indices relative to the LTS1 body start; the leftover constant
+        # phase e^{-j*w*(LTS1 abs offset)} is common to LTS and data
+        # symbols, so the zero-forcing equalizer absorbs it
+        lts_idx, sym_idx = derotation_indices(1 + nsym)
         lts = _derotate_p(lts, w, lts_idx)
         syms = _derotate_p(syms, w, sym_idx)
     h_inv = channel_estimate_p(lts)
@@ -299,10 +308,7 @@ def decode_frame_dynamic_p(samples: CArr, rate: Rate, max_length: int,
     lts, syms = extract_symbols_p(samples, start, nsym_max)
     if cfo_correct:
         w = estimate_cfo_cascade_p(samples, start, lts)
-        lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
-        sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
-                   + 80 * np.arange(1 + nsym_max)[:, None]
-                   + np.arange(64)[None, :])
+        lts_idx, sym_idx = derotation_indices(1 + nsym_max)
         lts = _derotate_p(lts, w, lts_idx)
         syms = _derotate_p(syms, w, sym_idx)
     h_inv = channel_estimate_p(lts)
@@ -356,10 +362,7 @@ def decode_frame_anyrate_p(samples: CArr, rates: tuple[Rate, ...],
     lts, syms = extract_symbols_p(samples, start, nsym_max)
     if cfo_correct:
         w = estimate_cfo_cascade_p(samples, start, lts)
-        lts_idx = 64 * np.arange(2)[:, None] + np.arange(64)[None, :]
-        sym_idx = ((pre.SYMBOL0_OFFSET - pre.LTS1_OFFSET)
-                   + 80 * np.arange(1 + nsym_max)[:, None]
-                   + np.arange(64)[None, :])
+        lts_idx, sym_idx = derotation_indices(1 + nsym_max)
         lts = _derotate_p(lts, w, lts_idx)
         syms = _derotate_p(syms, w, sym_idx)
     h_inv = channel_estimate_p(lts)

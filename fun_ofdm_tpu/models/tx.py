@@ -24,10 +24,13 @@ from ..rates import Rate, params_for
 from . import ppdu
 
 
-def build_frame_p(payload: jnp.ndarray, rate: Rate, dtype=jnp.float32):
-    """payload (..., length) bytes -> planar (re, im) frame samples of
-    (..., 320+80*(1+nsym))."""
-    sam_re, sam_im = ppdu.encode_p(payload, rate, dtype=dtype)
+def _assemble_frame_p(sam_re: jnp.ndarray, sam_im: jnp.ndarray, dtype):
+    """Shared TX tail: modulated data samples -> time-domain frame.
+
+    map onto 48+4+12 subcarriers, batched 64-pt IFFT, cyclic-prefix
+    insert, preamble prepend (reference: src/frame_builder.cpp:53-82).
+    Used by both the static and the mixed-length builders so the frame
+    assembly has a single definition."""
     batch = sam_re.shape[:-1]
     syms = (sam_re.reshape(*batch, -1, 48), sam_im.reshape(*batch, -1, 48))
     mapped = mapper.map_symbols_p(syms, start_symbol=0)  # (..., S, 64)
@@ -44,6 +47,13 @@ def build_frame_p(payload: jnp.ndarray, rate: Rate, dtype=jnp.float32):
         jnp.asarray(pre.PREAMBLE_SAMPLES.imag, dtype), batch + (320,))
     return (jnp.concatenate([pre_re, flat_re], axis=-1),
             jnp.concatenate([pre_im, flat_im], axis=-1))
+
+
+def build_frame_p(payload: jnp.ndarray, rate: Rate, dtype=jnp.float32):
+    """payload (..., length) bytes -> planar (re, im) frame samples of
+    (..., 320+80*(1+nsym))."""
+    sam_re, sam_im = ppdu.encode_p(payload, rate, dtype=dtype)
+    return _assemble_frame_p(sam_re, sam_im, dtype)
 
 
 def build_frame(payload: jnp.ndarray, rate: Rate,
@@ -83,26 +93,11 @@ def build_frames_mixed_p(payload: jnp.ndarray, lengths, rate: Rate,
     lengths = jnp.asarray(lengths, jnp.int32)
     sam_re, sam_im = ppdu.encode_dynamic_p(payload, lengths, rate,
                                            dtype=dtype)
-    batch = sam_re.shape[:-1]
-    syms = (sam_re.reshape(*batch, -1, 48), sam_im.reshape(*batch, -1, 48))
-    mapped = mapper.map_symbols_p(syms, start_symbol=0)
-    t_re, t_im = fft64.inverse_p(mapped)
-
-    def cp_and_flatten(t):
-        prefixed = jnp.concatenate([t[..., 48:], t], axis=-1)
-        return prefixed.reshape(*batch, -1)
-
-    flat_re, flat_im = cp_and_flatten(t_re), cp_and_flatten(t_im)
-    pre_re = jnp.broadcast_to(
-        jnp.asarray(pre.PREAMBLE_SAMPLES.real, dtype), batch + (320,))
-    pre_im = jnp.broadcast_to(
-        jnp.asarray(pre.PREAMBLE_SAMPLES.imag, dtype), batch + (320,))
+    out_re, out_im = _assemble_frame_p(sam_re, sam_im, dtype)
     frame_bits = 16 + 8 * (jnp.clip(lengths, 1, payload.shape[-1]) + 4) + 6
     nsym = (frame_bits + rp.dbps - 1) // rp.dbps
     n_samples = 320 + 80 * (1 + nsym)
-    return (jnp.concatenate([pre_re, flat_re], axis=-1),
-            jnp.concatenate([pre_im, flat_im], axis=-1),
-            n_samples)
+    return out_re, out_im, n_samples
 
 
 @functools.lru_cache(maxsize=None)

@@ -197,7 +197,8 @@ def _headers_block(jnp, frontend, wr, wi, ds_lo, ds_hi, max_frames,
         cfo_correct=cfo_correct,
         hdr_slots=None if n_hdr == max_frames else n_hdr)
     trailer = jnp.zeros((n_hdr,), jnp.int32).at[0].set(
-        h["detect_dropped"]).at[1].set(h["n_detected"])
+        h["detect_dropped"].astype(jnp.int32)).at[1].set(
+        h["n_detected"].astype(jnp.int32))
     return jnp.concatenate([jnp.stack([
         h["starts"].astype(jnp.int32),
         h["valid"].astype(jnp.int32),
@@ -616,6 +617,8 @@ class ReceiverChain:
                                * self.strides_per_step)
         else:
             self.max_frames = -(-(self.step + DETECT_LEAD) // min_frame) + 1
+        # >= 2: the header-block trailer row carries [dropped, n_detected]
+        self.max_frames = max(2, self.max_frames)
         self._valid_fields = {params_for(r).rate_field: r for r in self.rates}
         # universal-decode length classes: decoding a frame costs the
         # slowest CONFIGURED rate's symbol geometry (nsym_max), so rates
@@ -682,15 +685,20 @@ class ReceiverChain:
         try:
             import jax
 
+            import jax.numpy as jnp
+
             bucket = DECODE_BUCKETS[0]
             rate = (self._classes[0] if self.decode_mode == "universal"
                     else self.rates[0])
             fn = self._decode_fn(rate, bucket, exact=True)
             win_shape = (self.window,) if self.channels == 1 \
                 else (self.channels, self.window)
-            f32 = jax.ShapeDtypeStruct(win_shape, np.float32)
-            st = jax.ShapeDtypeStruct((bucket,), np.int32)
-            fn.lower(f32, f32, st).compile()
+            # a real dummy call (not lower().compile()): populates the
+            # jit dispatch cache itself, so the first flagged frame is
+            # fast even with the persistent XLA cache disabled
+            z = jnp.zeros(win_shape, jnp.float32)
+            jax.block_until_ready(
+                fn(z, z, jnp.zeros((bucket,), jnp.int32)))
         except Exception:
             pass
 
@@ -699,9 +707,9 @@ class ReceiverChain:
         if step == self.step:
             return self.max_frames
         if self.params.max_frames_per_chunk is not None:
-            return (int(self.params.max_frames_per_chunk)
-                    * max(1, step // self.stride))
-        return -(-(step + DETECT_LEAD) // self._min_frame) + 1
+            return max(2, int(self.params.max_frames_per_chunk)
+                       * max(1, step // self.stride))
+        return max(2, -(-(step + DETECT_LEAD) // self._min_frame) + 1)
 
     def _step_fn(self, step: int | None = None):
         step = self.step if step is None else step

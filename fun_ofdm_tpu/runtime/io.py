@@ -314,6 +314,13 @@ class UdpSink:
         if samples_per_packet % align:
             raise ValueError(
                 f"samples_per_packet must be a multiple of {align}")
+        if not 0 < samples_per_packet <= 0xFFFF:
+            raise ValueError("samples_per_packet must fit the uint16 "
+                             "datagram header (1..65535)")
+        if int(2 * samples_per_packet * _WIRE_BYTES[wire]) \
+                + _UDP_HDR.size > 65507:
+            raise ValueError("samples_per_packet exceeds the maximum "
+                             "UDP datagram payload")
         self.spp = samples_per_packet
         self._addr = (addr[0], int(addr[1]))
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -432,10 +439,13 @@ class UdpSource:
             # a RESTARTED sender begins again at a low sample index; a
             # hard lock on the first stream would drop its traffic
             # forever (each datagram counted 'reordered'). Genuine
-            # out-of-order delivery is a few isolated packets; a RUN of
-            # below-lock datagrams is a new stream - re-lock onto it.
+            # out-of-order delivery is a few packets deep and CLOSE to
+            # the lock; a RUN of below-lock datagrams far below it is a
+            # new stream - re-lock onto it. Both conditions: a streak
+            # alone would re-lock on a burst of merely-reordered
+            # datagrams and duplicate an already-delivered span.
             self._below_streak += 1
-            if self._below_streak > 8:
+            if self._below_streak > 8 and self._next_seq - seq > 8 * n:
                 self.stats.resyncs += 1
                 self._next_seq = seq
                 self._below_streak = 0

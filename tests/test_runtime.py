@@ -1307,3 +1307,21 @@ def test_chain_header_budget_exact_count_not_saturated():
     assert sorted(p.start for p in pkts) == starts
     assert chain.stats.header_overflows == 0
     assert chain.stats.detect_saturated == 0
+
+
+def test_chain_capacity_one_config():
+    """max_frames_per_chunk=1 (detection capacity 1 per chunk) must not
+    crash the drain parse (code-review r5: the 2-entry trailer row needs
+    capacity >= 2; the chain now clamps it)."""
+    rng = np.random.default_rng(71)
+    payload = rng.integers(0, 256, 30, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=4096, strides_per_step=1,
+                         max_frames_per_chunk=1)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=32,
+                          params=params)
+    stream = np.zeros(9000, np.complex64)
+    stream[500:500 + frame.size] = frame
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(500, payload.tobytes())]
