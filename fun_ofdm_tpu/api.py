@@ -63,20 +63,52 @@ class Transmitter:
     BURST_BATCH_BUCKETS = (4, 16, 64, 256)
     BURST_LEN_BUCKETS = (64, 256, 1024, 2000)
 
-    def send_burst(self, payloads: Sequence, rate: Rate) -> int:
-        """Build a whole burst of frames in ONE batched device call and
-        send them back-to-back (TPU-native batch path). Payload lengths
-        may differ (the reference transmitter's per-frame flexibility,
-        src/transmitter.cpp:33-37): equal-length bursts take the static
-        builder; mixed bursts take the dynamic-length builder
-        (models/tx.build_frames_mixed_p), padded to shape buckets so the
-        jit cache stays bounded. Returns samples sent."""
+    def send_burst(self, payloads: Sequence, rate) -> int:
+        """Build a whole burst of frames in ONE batched device call per
+        rate and send them back-to-back in order (TPU-native batch
+        path). Payload lengths may differ (the reference transmitter's
+        per-frame flexibility, src/transmitter.cpp:33-37): equal-length
+        bursts take the static builder; mixed bursts take the
+        dynamic-length builder (models/tx.build_frames_mixed_p), padded
+        to shape buckets so the jit cache stays bounded. `rate` may also
+        be a sequence of per-frame Rates (one build per distinct rate,
+        frames sent in the original order). Returns samples sent."""
         import jax.numpy as jnp
         from .models import tx
 
         mats = [np.frombuffer(bytes(p), dtype=np.uint8) for p in payloads]
         if not mats:
             return 0
+        if not isinstance(rate, (Rate, int)):
+            rates = [Rate(r) for r in rate]
+            if len(rates) != len(mats):
+                raise ValueError("per-frame rates must match payloads")
+            if len(set(rates)) > 1:
+                # group by rate, build each group batched, then emit the
+                # frames in their original burst order
+                frames: dict[int, tuple] = {}
+                for r in set(rates):
+                    idx = [i for i, ri in enumerate(rates) if ri == r]
+                    group = [payloads[i] for i in idx]
+                    sink = _CaptureSink()
+                    orig_sink, self.sink = self.sink, sink
+                    try:
+                        self.send_burst(group, r)
+                    finally:
+                        self.sink = orig_sink
+                    off = 0
+                    lens = [tx_len(self, payloads[i], r) for i in idx]
+                    for i, ln in zip(idx, lens):
+                        frames[i] = (sink.re[off:off + ln],
+                                     sink.im[off:off + ln])
+                        off += ln
+                out_re = np.concatenate([frames[i][0]
+                                         for i in range(len(mats))])
+                out_im = np.concatenate([frames[i][1]
+                                         for i in range(len(mats))])
+                self._send(out_re, out_im)
+                return int(out_re.size)
+            rate = rates[0]
         sizes = {m.size for m in mats}
         if len(sizes) == 1:
             batch = np.stack(mats)
@@ -107,6 +139,28 @@ class Transmitter:
             [im[i, :ns[i]] for i in range(len(mats))])
         self._send(out_re, out_im)
         return int(out_re.size)
+
+
+class _CaptureSink:
+    """Internal: collect a burst's samples instead of sending them."""
+
+    def __init__(self):
+        self.re = np.zeros(0, np.float32)
+        self.im = np.zeros(0, np.float32)
+
+    def send_burst(self, samples):
+        re, im = samples
+        self.re = np.concatenate([self.re, np.asarray(re, np.float32)])
+        self.im = np.concatenate([self.im, np.asarray(im, np.float32)])
+
+    send_burst_sync = send_burst
+
+
+def tx_len(txr, payload, rate: Rate) -> int:
+    """Sample count of one frame (320 + 80*(1+num_symbols))."""
+    from .rates import params_for
+
+    return params_for(Rate(rate)).frame_samples(len(bytes(payload)))
 
 
 class Receiver:

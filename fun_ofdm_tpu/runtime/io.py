@@ -495,14 +495,33 @@ class UdpSource:
 
 
 class FileSource:
-    """Replay a recorded capture (interleaved complex64 file)."""
+    """Replay a recorded capture file.
 
-    def __init__(self, path: str, params: RadioParams = RadioParams()):
+    fmt: "complex64" (default - interleaved c64, the common SDR float
+    format) or "int16" (interleaved sc16 I/Q, the other standard SDR
+    interchange format; samples scale by the chain's canonical sc16
+    wire scale).
+    """
+
+    def __init__(self, path: str, params: RadioParams = RadioParams(),
+                 fmt: str = "complex64"):
+        if fmt not in ("complex64", "int16"):
+            raise ValueError("fmt must be 'complex64' or 'int16'")
         self.params = params
+        self.fmt = fmt
         self._f = open(path, "rb")
         self.exhausted = False
 
     def get_samples(self, n: int):
+        if self.fmt == "int16":
+            buf = self._f.read(n * 4)  # interleaved I/Q int16
+            v = np.frombuffer(buf, dtype=np.int16).astype(np.float32)
+            v *= np.float32(1.0 / 8192.0)
+            if v.size < 2 * n:
+                self.exhausted = True
+                v = np.concatenate([v, np.zeros(2 * n - v.size, np.float32)])
+            return (np.ascontiguousarray(v[0::2]),
+                    np.ascontiguousarray(v[1::2]))
         buf = self._f.read(n * 8)  # complex64 = 8 bytes
         x = np.frombuffer(buf, dtype=np.complex64)
         if x.size < n:
@@ -516,15 +535,25 @@ class FileSource:
 
 
 class FileSink:
-    """Record TX bursts to an interleaved complex64 file."""
+    """Record TX bursts to a capture file (formats as FileSource)."""
 
-    def __init__(self, path: str, params: RadioParams = RadioParams()):
+    def __init__(self, path: str, params: RadioParams = RadioParams(),
+                 fmt: str = "complex64"):
+        if fmt not in ("complex64", "int16"):
+            raise ValueError("fmt must be 'complex64' or 'int16'")
         self.params = params
+        self.fmt = fmt
         self._f = open(path, "wb")
 
     def send_burst(self, samples) -> None:
         re, im = _planar_f32(samples)
         amp = np.float32(self.params.tx_amp)
+        if self.fmt == "int16":
+            v = np.empty(2 * re.size, np.int16)
+            v[0::2] = np.clip(np.rint(re * amp * 8192.0), -32767, 32767)
+            v[1::2] = np.clip(np.rint(im * amp * 8192.0), -32767, 32767)
+            v.tofile(self._f)
+            return
         (re * amp + 1j * (im * amp)).astype(np.complex64).tofile(self._f)
 
     send_burst_sync = send_burst

@@ -1325,3 +1325,54 @@ def test_chain_capacity_one_config():
     stream[500:500 + frame.size] = frame
     pkts = chain.process_samples(stream) + chain.flush()
     assert [(p.start, p.payload) for p in pkts] == [(500, payload.tobytes())]
+
+
+def test_transmitter_per_frame_rates_burst():
+    """send_burst accepts per-frame Rates (the reference sends each frame
+    at its own rate via send_frame; here one batched build per distinct
+    rate, frames on the air in their original order)."""
+    rng = np.random.default_rng(73)
+    payloads = [rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+                for n in (20, 44, 31)]
+    rates = [Rate.RATE_1_2_QPSK, Rate.RATE_3_4_QAM16, Rate.RATE_1_2_QPSK]
+    bus = LoopbackRadio(RadioParams(), pace_idle=False)
+    txr = Transmitter(sink=bus)
+    sent = txr.send_burst(payloads, rates)
+
+    ref = np.concatenate([
+        np.asarray(tx.build_frame(
+            jnp.asarray(np.frombuffer(p, np.uint8)), r))
+        for p, r in zip(payloads, rates)])
+    assert sent == ref.size
+    re, im = bus.get_samples(sent)
+    np.testing.assert_allclose(re + 1j * im, ref, atol=1e-5)
+
+    chain = ReceiverChain(rates=tuple(set(rates)), max_length=64)
+    stream = np.concatenate([re + 1j * im, np.zeros(8000, np.complex64)])
+    pkts = chain.process_samples(stream) + chain.flush()
+    assert [(p.payload, p.rate) for p in pkts] == \
+        [(p_, r_) for p_, r_ in zip(payloads, rates)]
+
+
+def test_file_sink_source_int16_roundtrip(tmp_path):
+    """sc16 interleaved capture files (the other standard SDR interchange
+    format) round-trip through FileSink/FileSource and decode."""
+    from fun_ofdm_tpu.runtime.io import FileSink, FileSource
+
+    rng = np.random.default_rng(79)
+    payload = rng.integers(0, 256, 40, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    stream = np.zeros(8000, np.complex64)
+    stream[600:600 + frame.size] = frame
+    path = str(tmp_path / "cap.sc16")
+    sink = FileSink(path, fmt="int16")
+    sink.send_burst((stream.real.astype(np.float32),
+                     stream.imag.astype(np.float32)))
+    sink.close()
+    src = FileSource(path, fmt="int16")
+    re, im = src.get_samples(8000)
+    src.close()
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=48)
+    pkts = chain.process_samples((re, im)) + chain.flush()
+    assert [(p.start, p.payload) for p in pkts] == [(600, payload.tobytes())]
