@@ -590,8 +590,6 @@ class ReceiverChain:
         self.window = self.step + self.halo
         self.adaptive = params.latency_target_ms is not None
         if self.adaptive:
-            if self.channels != 1:
-                raise ValueError("latency_target_ms requires channels=1")
             # dispatch-size ladder (in strides): sparse/idle periods take
             # small dispatches near the transport's latency floor, dense
             # backlog takes full supersteps (VERDICT r4 #4); each rung is
@@ -783,6 +781,25 @@ class ReceiverChain:
                 self._ingest(*self._pend_take(k))
         # a sub-chunk residue stays pending (flush() pads it out)
 
+    def _pump_mc(self) -> None:
+        """Multi-channel twin of _pump over the (C, n) accumulator."""
+        while self._mc_avail >= self.step:
+            self._ingest(*self._mc_take(self.step))
+        if not self._mc_avail:
+            self._pend_t0 = None
+            return
+        if self._pend_t0 is None:
+            self._pend_t0 = time.perf_counter()
+        age_ms = (time.perf_counter() - self._pend_t0) * 1e3
+        if age_ms < self.params.latency_target_ms / 2:
+            return
+        for r in reversed(self._ladder):
+            k = r * self.stride
+            while self._mc_avail >= k:
+                self._ingest(*self._mc_take(k))
+        if not self._mc_avail:
+            self._pend_t0 = None
+
     def process_samples(self, samples) -> list[DecodedPacket]:
         """Feed a chunk of samples; return packets completed by it.
 
@@ -926,7 +943,8 @@ class ReceiverChain:
             gb, gs = PACKED_FORMATS[self.ingest_dtype]
             pb = self.step * gb // gs
             n = re.shape[-1] * gs // gb
-            if self._mc_avail == 0 and re.shape[-1] % pb == 0:
+            if not self.adaptive and self._mc_avail == 0 \
+                    and re.shape[-1] % pb == 0:
                 self.stats.samples_in += n * self.channels
                 self._t_real += n
                 for i in range(0, re.shape[-1], pb):
@@ -940,6 +958,7 @@ class ReceiverChain:
             im = _unpack_np(im, self.ingest_dtype, scale)
         elif (re.dtype == np_dtype and im.dtype == np_dtype
                 and np_dtype != np.float32
+                and not self.adaptive
                 and self._mc_avail == 0
                 and re.shape[-1] % self.step == 0):
             # pre-quantized fast path: exact supersteps, zero-copy
@@ -956,11 +975,16 @@ class ReceiverChain:
         im = np.ascontiguousarray(im, dtype=np.float32)
         self.stats.samples_in += re.size
         self._t_real += re.shape[-1]
+        if self._mc_avail == 0 and self._pend_t0 is None:
+            self._pend_t0 = time.perf_counter()
         self._mc_buf.append((re, im))
         self._mc_avail += re.shape[-1]
-        while self._mc_avail >= self.step:
-            cre, cim = self._mc_take(self.step)
-            self._ingest(cre, cim)
+        if self.adaptive:
+            self._pump_mc()
+        else:
+            while self._mc_avail >= self.step:
+                cre, cim = self._mc_take(self.step)
+                self._ingest(cre, cim)
         return self._drain(force=False)
 
     def flush(self, terminal: bool = True) -> list[DecodedPacket]:

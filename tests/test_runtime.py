@@ -1376,3 +1376,32 @@ def test_file_sink_source_int16_roundtrip(tmp_path):
     chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=48)
     pkts = chain.process_samples((re, im)) + chain.flush()
     assert [(p.start, p.payload) for p in pkts] == [(600, payload.tobytes())]
+
+
+def test_chain_adaptive_multichannel_sparse_delivery():
+    """Adaptive superstep mode composes with channels>1: a sparse
+    C-channel stream delivers without waiting out a full superstep, with
+    correct channel tags."""
+    C = 3
+    rng = np.random.default_rng(83)
+    payload = rng.integers(0, 256, 28, dtype=np.uint8)
+    frame = np.asarray(tx.build_frame(jnp.asarray(payload),
+                                      Rate.RATE_1_2_QPSK))
+    params = ChainParams(chunk_size=1024, strides_per_step=16,
+                         latency_target_ms=25.0)
+    chain = ReceiverChain(rates=(Rate.RATE_1_2_QPSK,), max_length=28,
+                          params=params, channels=C)
+    n = 5 * 1024
+    stream = np.zeros((C, n), np.complex64)
+    for c in range(C):
+        stream[c, 700 + 31 * c: 700 + 31 * c + frame.size] = frame
+    pkts = list(chain.process_samples(
+        (stream.real.astype(np.float32), stream.imag.astype(np.float32))))
+    idle = (np.zeros((C, 1024), np.float32), np.zeros((C, 1024), np.float32))
+    deadline = time.time() + 20
+    while len(pkts) < C and time.time() < deadline:
+        time.sleep(0.02)
+        pkts += chain.process_samples(idle)
+    assert sorted((p.channel, p.start) for p in pkts) == \
+        [(c, 700 + 31 * c) for c in range(C)]
+    assert all(p.payload == payload.tobytes() for p in pkts)
