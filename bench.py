@@ -437,7 +437,7 @@ def main() -> None:
     n_cfo = unit * n_cfo_units
     cfo_kwargs = dict(rates=(rate,), max_length=length,
                       params=ChainParams(strides_per_step=256),
-                      ingest_dtype="int12")
+                      ingest_dtype="int10")
     # warm pass: cfo_correct=True decode variants compile fresh
     bench_streaming_cfo((s_re[:unit * 2], s_im[:unit * 2]), None,
                         cfo_norm=2e-4, **cfo_kwargs)
