@@ -73,11 +73,12 @@ def main() -> None:
         if args.prequant and dtype != "float32":
             np_dtype, scale = INGEST_FORMATS[dtype]
             n_whole = s_re.size // chain.step * chain.step
-            if dtype == "int12":
-                from fun_ofdm_tpu.runtime.chain import pack12
-                f_re = pack12(s_re[:n_whole], scale)
-                f_im = pack12(s_im[:n_whole], scale)
-                cf = chain.step * 3 // 2
+            from fun_ofdm_tpu.runtime.chain import PACKED_FORMATS, _pack_np
+            if dtype in PACKED_FORMATS:
+                gb, gs = PACKED_FORMATS[dtype]
+                f_re = _pack_np(s_re[:n_whole], dtype, scale)
+                f_im = _pack_np(s_im[:n_whole], dtype, scale)
+                cf = chain.step * gb // gs
             else:
                 lim = float(np.iinfo(np_dtype).max)
                 f_re = np.clip(np.rint(s_re[:n_whole] * scale),
