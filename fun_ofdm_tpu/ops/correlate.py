@@ -6,7 +6,7 @@ TPU-native replacements for the reference's per-sample loops:
     src/circular_accumulator.h) -> windowed sums built from shifted adds
     (exact per-window arithmetic - no long cumsum error accumulation).
   * plateau detection (reference: src/frame_detector.cpp:65-82) -> a
-    cummax run-length trick instead of a stateful counter.
+    trailing-window count on the MXU instead of a stateful counter.
   * 64-tap LTS cross-correlation (reference: src/timing_sync.cpp:74-86)
     -> 64 shifted scaled adds over the whole stream (fusable elementwise).
 
